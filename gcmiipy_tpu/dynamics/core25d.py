@@ -1,0 +1,260 @@
+"""2.5D primitive-equation dynamical core (flux form, Arakawa C-grid, sigma).
+
+TPU-native twin of reference ``dynamics.py`` — the production core of the
+reference (SURVEY.md section 2 #10).  State layout ``[k, j, i]`` with surface
+pressure ``p`` as ``[j, i]``; velocities staggered on the C-grid (u at
+i+1/2, v at j+1/2); potential temperature ``t`` and specific humidity ``q``
+at cell centers.
+
+Semantics follow reference ``dynamics.py`` exactly (the parity oracle for
+BASELINE.md), with two deliberate deviations documented in SURVEY.md
+section 7 "quirk policy":
+
+* the Coriolis term — computed but disabled via ``if False`` in the
+  reference (``dynamics.py:82-95``) — is available behind ``coriolis=True``;
+* the polar filter is injectable (``filter_fn``) so the sharded path can use
+  the matmul formulation.
+
+Everything is pure jnp on plain SI arrays; jit/vmap/scan compose with all
+functions here.
+"""
+
+import functools
+
+import jax.numpy as jnp
+
+from gcmiipy_tpu import constants
+from gcmiipy_tpu.ops import polar_filter
+from gcmiipy_tpu.ops.stencil import (
+    ijm, ijp, imh, imj, iph, ipj, jmh, jph, km, kmh, kp, kph, gradi, gradj,
+)
+from gcmiipy_tpu.physics import thermo
+
+
+def calc_pu(p, u):
+    """Zonal mass flux pu = u * p interpolated to i+1/2 (reference dynamics.py:15-17)."""
+    return u * iph(p)
+
+
+def calc_pv(p, v):
+    """Meridional mass flux pv = v * p at j+1/2 (reference dynamics.py:20-22)."""
+    return v * jph(p)
+
+
+def un_pu(pu, p):
+    """Recover u from the zonal mass flux (reference dynamics.py:25-27)."""
+    return pu / iph(p)
+
+
+def un_pv(pv, p):
+    """Recover v from the meridional mass flux (reference dynamics.py:30-32)."""
+    return pv / jph(p)
+
+
+def aflux(pu, pv, geom):
+    """Mass convergence -> surface-pressure tendency and sigma-dot
+    (reference dynamics.py:35-46).
+
+    Returns (pit, sd): ``pit`` is the column-integrated convergence (the
+    surface pressure tendency), ``sd`` the vertical sigma mass flux at layer
+    bottoms with sd[0] (surface) pinned to zero.
+    """
+    dx_j = jnp.asarray(geom.dx_j, pu.dtype)
+    dy = jnp.asarray(geom.dy, pu.dtype)
+    dsig = jnp.asarray(geom.dsig, pu.dtype)
+    sigb = jnp.asarray(geom.sigb, pu.dtype)
+
+    conv = ((pu - imj(pu)) / dx_j + (pv - ijm(pv)) / dy) * dsig
+    pit = jnp.sum(conv, axis=0)
+
+    # reverse cumulative sum over k: sd[k] = sum_{k' >= k} conv[k']
+    sd = jnp.flip(jnp.cumsum(jnp.flip(conv, axis=0), axis=0), axis=0)
+    sd = sd - pit * sigb
+    sd = sd.at[0].set(0.0)  # surface boundary condition (dynamics.py:44)
+    return pit, sd
+
+
+def advec_sig(sd, q, geom):
+    """Vertical (sigma) advection tendency of ``q`` (reference dynamics.py:49-53)."""
+    dsig = jnp.asarray(geom.dsig, q.dtype)
+    flux = kmh(q) * sd
+    dq = (flux - kp(flux)) / dsig
+    return -dq
+
+
+def advec_m_pu(p, u, v, pu, pv, geom, coriolis=False):
+    """Horizontal momentum-flux advection tendencies (dut, dvt)
+    (reference dynamics.py:55-108).
+
+    ``coriolis=True`` enables the term the reference computes but disables
+    (``dynamics.py:82-95``).
+    """
+    dx_j = jnp.asarray(geom.dx_j, u.dtype)
+    dx_h = jnp.asarray(geom.dx_h, u.dtype)
+    dy = jnp.asarray(geom.dy, u.dtype)
+
+    puum = imh(u) * imh(pu)
+    puup = ipj(puum)
+
+    puvp = iph(pv) * jph(u)
+    puvm = ijm(puvp)
+
+    pvvm = jmh(v) * jmh(pv)
+    pvvp = ijp(pvvm)
+    pvup = iph(v) * jph(pu)
+    pvum = imj(pvup)
+
+    if coriolis:
+        pu_at_pv = imh(jph(pu))
+        pv_at_pu = iph(jmh(pv))
+        w = 2 * constants.earth_omega  # 2 * (2 pi / day) (dynamics.py:87-89)
+        lat = jnp.asarray(geom.lat, u.dtype)
+        cp_at_u = jnp.sin(lat) * w
+        cp_at_v = jnp.sin(jph(lat)) * w
+        coriolis_u = cp_at_u * -pv_at_pu
+        coriolis_v = cp_at_v * pu_at_pv
+    else:
+        coriolis_u = 0.0
+        coriolis_v = 0.0
+
+    dut = (puum - puup) / dx_j + (puvm - puvp) / dy + coriolis_u
+    dvt = (pvvm - pvvp) / dy + (pvum - pvup) / dx_h + coriolis_v
+    return dut, dvt
+
+
+def compute_geopotential(p, t, geom):
+    """Layer geopotential via the GISS Cp*thbar*(p^k_dn - p^k_up) ladder
+    (reference dynamics.py:111-143, the returned "theirs" form).
+
+    The base level folds the column sums of spa*dsig and sigt*stp plus the
+    surface geopotential (``dynamics.py:126-135``).
+    """
+    sig = jnp.asarray(geom.sig, t.dtype)
+    dsig = jnp.asarray(geom.dsig, t.dtype)
+    sigt = jnp.asarray(geom.sigt, t.dtype)
+    ptop = jnp.asarray(geom.ptop, t.dtype)
+    heightmap = jnp.asarray(geom.heightmap, t.dtype)
+
+    tp = p * sig + ptop
+    tt = thermo.to_true_temp(t, tp)
+    rho = tp / (constants.Rd * tt)
+
+    sp = sig * p
+    spa = sp / rho
+    s1 = spa * dsig
+
+    pkdn = ((sig * p + ptop) / constants.P0) ** constants.kappa
+    pkup = kp(pkdn)
+    stp = constants.Cp * kph(t) * (pkdn - pkup)
+    s2 = sigt * stp
+    stp_n = km(stp)
+    stp_n = stp_n.at[0].set(jnp.sum(s1 - s2, axis=0) + heightmap * constants.G)
+    return jnp.cumsum(stp_n, axis=0)
+
+
+def compute_geopotential_hydrostatic(p, t, geom):
+    """Alternative hydrostatic-cumsum geopotential (the reference's "mine"
+    form, ``dynamics.py:117-119``): midpoint of each layer's geometric
+    thickness above the surface, times g."""
+    sig = jnp.asarray(geom.sig, t.dtype)
+    dsig = jnp.asarray(geom.dsig, t.dtype)
+    ptop = jnp.asarray(geom.ptop, t.dtype)
+    heightmap = jnp.asarray(geom.heightmap, t.dtype)
+
+    tp = p * sig + ptop
+    tt = thermo.to_true_temp(t, tp)
+    rho = tp / (constants.Rd * tt)
+    dp = p * dsig
+    depth = dp / (rho * constants.G)
+    phi = heightmap + jnp.cumsum(depth, axis=0) - depth / 2
+    return phi * constants.G
+
+
+def pgf(p, t, geom):
+    """Pressure-gradient force terms (pgfu, pgfv, phiu, phiv)
+    (reference dynamics.py:147-171)."""
+    sig = jnp.asarray(geom.sig, t.dtype)
+    ptop = jnp.asarray(geom.ptop, t.dtype)
+    dx_j = jnp.asarray(geom.dx_j, t.dtype)
+    dy = jnp.asarray(geom.dy, t.dtype)
+
+    tp = p * sig + ptop
+    tt = thermo.to_true_temp(t, tp)
+    rho = tp / (constants.Rd * tt)
+    sp = sig * p
+
+    phi = compute_geopotential(p, t, geom)
+
+    phiu = iph(p) * gradi(phi, dx_j)
+    phiv = jph(p) * gradj(phi, dy)
+
+    pgfu = iph(sp) / iph(rho) * gradi(p, dx_j)
+    pgfv = jph(sp) / jph(rho) * gradj(p, dy)
+    return pgfu, pgfv, phiu, phiv
+
+
+def advec_t(pu, pv, t, geom):
+    """Flux-form horizontal advection of a cell-centered scalar
+    (reference dynamics.py:174-181)."""
+    dx_j = jnp.asarray(geom.dx_j, t.dtype)
+    dy = jnp.asarray(geom.dy, t.dtype)
+    tpu = pu * iph(t)
+    tpv = pv * jph(t)
+    return (tpu - imj(tpu)) / dx_j + (tpv - ijm(tpv)) / dy
+
+
+def half_timestep(p, u, v, t, q, sp, su, sv, st, sq, dt, geom,
+                  filter_fn=None, coriolis=False):
+    """One forward(-backward) half step of the Matsuno scheme
+    (reference dynamics.py:183-227).
+
+    (p,u,v,t,q) is the base state being advanced; (sp,su,...) the state the
+    tendencies are evaluated at (identical for the predictor, the starred
+    state for the corrector).
+    """
+    if filter_fn is None:
+        filter_fn = polar_filter.arakawa_1977
+
+    pu = calc_pu(p, u)
+    spu = filter_fn(calc_pu(sp, su), geom)  # filter zonal mass flux (dynamics.py:189)
+    pv = calc_pv(p, v)
+    spv = calc_pv(sp, sv)
+
+    pit, sd = aflux(spu, spv, geom)
+    p_n = p - pit * dt
+
+    dut, dvt = advec_m_pu(sp, su, sv, spu, spv, geom, coriolis=coriolis)
+    pgu, pgv, phiu, phiv = pgf(sp, st, geom)
+    dus = advec_sig(iph(sd), su, geom)
+    dvs = advec_sig(jph(sd), sv, geom)
+
+    # filter the zonal pressure-gradient + geopotential force (dynamics.py:202)
+    pgfu = filter_fn(pgu + phiu, geom)
+
+    pu_n = pu - (dut + dus + pgfu) * dt
+    pv_n = pv - (dvt + dvs + phiv + pgv) * dt
+
+    u_n = un_pu(pu_n, p_n)
+    v_n = un_pv(pv_n, p_n)
+
+    t_n = (t * p - (advec_t(spu, spv, st, geom) + advec_sig(sd, st, geom)) * dt) / p_n
+    q_n = (q * p - (advec_t(spu, spv, sq, geom) + advec_sig(sd, sq, geom)) * dt) / p_n
+
+    # southern-row wall: kill v on the last latitude row (dynamics.py:222)
+    v_n = v_n.at[:, -1, :].set(0.0)
+    return p_n, u_n, v_n, t_n, q_n
+
+
+def matsuno_timestep(p, u, v, t, q, dt, geom, boundary_conditions=None,
+                     filter_fn=None, coriolis=False):
+    """Full Matsuno (forward-backward predictor-corrector) step
+    (reference dynamics.py:230-237)."""
+    step = functools.partial(half_timestep, dt=dt, geom=geom,
+                             filter_fn=filter_fn, coriolis=coriolis)
+    sp, su, sv, st, sq = step(p, u, v, t, q, p, u, v, t, q)
+    if boundary_conditions:
+        sp, su, sv, st, sq = boundary_conditions(sp, su, sv, st, sq, dt, geom)
+    op, ou, ov, ot, oq = step(p, u, v, t, q, sp, su, sv, st, sq)
+    if boundary_conditions:
+        op, ou, ov, ot, oq = boundary_conditions(op, ou, ov, ot, oq, dt, geom)
+    return op, ou, ov, ot, oq

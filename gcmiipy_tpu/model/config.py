@@ -1,0 +1,51 @@
+"""Run configuration dataclasses.
+
+The reference configures runs via module-level constants and hard-coded
+``main()`` bodies (reference ``no_limits_2_5d.py:123-126,256-268``; SURVEY.md
+section 5.6).  Here configuration is a frozen dataclass consumed by the
+driver; every field is static w.r.t. jit.
+"""
+
+import dataclasses
+from typing import Callable, Optional
+
+from gcmiipy_tpu.grid import geometry
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Configuration of a 2.5D model run."""
+
+    # Grid (reference defaults no_limits_2_5d.py:123-126: 24 x 36 x 9)
+    height: int = 24
+    width: int = 36
+    layers: int = 9
+    sig_func: Callable = geometry.manabe_sig
+
+    # Time stepping (reference main(): dt = 30 min, no_limits_2_5d.py:263)
+    dt: float = 1800.0
+
+    # Physics step: the reference computes it but short-circuits before
+    # applying it (early return, no_limits_2_5d.py:94).  False reproduces
+    # the reference; True enables the grey-radiation column physics.
+    physics: bool = False
+
+    # Coriolis: reference computes but disables (dynamics.py:82).
+    coriolis: bool = False
+
+    # Radiation parameters of basic_grey_radiation (no_limits_2_5d.py:69)
+    t_lw: float = 0.1
+    t_sw: float = 0.9
+    albedo: float = 0.3
+
+    # Numerics
+    dtype: str = "float32"
+    # 'fft' | 'matmul' polar filter implementation
+    polar_filter: str = "fft"
+
+    # Diagnostics cadence: steps per scan chunk when collecting stats
+    stats: bool = True
+
+    # Checkpointing
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 0  # steps; 0 disables

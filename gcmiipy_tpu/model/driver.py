@@ -1,0 +1,155 @@
+"""Top-level 2.5D model driver.
+
+TPU-native twin of reference ``no_limits_2_5d.py``: builds geometry and
+initial conditions, then advances the Matsuno core (optionally + grey
+radiation physics) for N steps.
+
+Where the reference runs a Python ``for`` loop with a tqdm bar over
+``full_timestep`` (reference ``no_limits_2_5d.py:230-234``), this driver
+compiles the entire run as ``lax.scan`` inside one ``jit`` with donated state
+buffers; per-step diagnostics (the reference's STATS defaultdict,
+``no_limits_2_5d.py:63,85-91``) come back as stacked arrays from the scan.
+A Python-loop path with a user callback is kept for interactive use.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcmiipy_tpu.dynamics import core25d, energy
+from gcmiipy_tpu.grid import geometry
+from gcmiipy_tpu.model.config import ModelConfig
+from gcmiipy_tpu.model.state import GroundVars, ModelState, PrognosticVars, gen_initial_conditions
+from gcmiipy_tpu.ops import polar_filter
+from gcmiipy_tpu.physics import radiation, thermo
+
+
+class StepStats(NamedTuple):
+    """Per-step diagnostics (reference no_limits_2_5d.py:85-91)."""
+    u_max: jnp.ndarray
+    u_min: jnp.ndarray
+    v_max: jnp.ndarray
+    v_min: jnp.ndarray
+    ke: jnp.ndarray
+    ate: jnp.ndarray
+    geo: jnp.ndarray
+    total_energy: jnp.ndarray
+
+
+def make_filter_fn(config, geom):
+    """Select the polar-filter implementation (SURVEY.md section 5.7)."""
+    if config.polar_filter == "matmul":
+        F = polar_filter.build_filter_matrices(geom, dtype=np.dtype(config.dtype))
+        return lambda q, geom: polar_filter.arakawa_1977_matmul(q, F)
+    return polar_filter.arakawa_1977
+
+
+def solar_timestep(t, p, g, dt, utc, geom, config):
+    """Radiative heating step (reference no_limits_2_5d.py:66-75)."""
+    sig = jnp.asarray(geom.sig, t.dtype)
+    ptop = jnp.asarray(geom.ptop, t.dtype)
+    tp = p * sig + ptop
+    tt = thermo.to_true_temp(t, tp)
+    dt_air, dt_ground = radiation.basic_grey_radiation(
+        p, tp, tt, g, config.t_lw, config.t_sw, config.albedo, utc, geom)
+    gt_n = g.gt + dt_ground * dt
+    tt_n = tt + dt_air * dt
+    t_n = thermo.to_potential_temp(tt_n, tp)
+    return t_n, GroundVars(gt_n, g.gw, g.snow, g.ice)
+
+
+def full_timestep(state: ModelState, geom, config, filter_fn) -> ModelState:
+    """Dynamics step (+ optional physics) (reference no_limits_2_5d.py:79-104).
+
+    The reference's physics step is dead code behind an early return
+    (``no_limits_2_5d.py:94``); here it is enabled by ``config.physics``.
+    """
+    prog, g, utc = state
+    p, u, v, t, q = prog
+    p, u, v, t, q = core25d.matsuno_timestep(
+        p, u, v, t, q, config.dt, geom,
+        filter_fn=filter_fn, coriolis=config.coriolis)
+    if config.physics:
+        t, g = solar_timestep(t, p, g, config.dt, utc, geom, config)
+    return ModelState(PrognosticVars(p, u, v, t, q), g, utc + config.dt)
+
+
+def collect_stats(state: ModelState, geom) -> StepStats:
+    prog = state.prog
+    ke, ate, geo, tot = energy.calc_energy(
+        prog.p, prog.u, prog.v, prog.t, prog.q, geom)
+    return StepStats(
+        u_max=jnp.max(prog.u), u_min=jnp.min(prog.u),
+        v_max=jnp.max(prog.v), v_min=jnp.min(prog.v),
+        ke=ke, ate=ate, geo=geo, total_energy=tot)
+
+
+def make_run_fn(geom, config, timesteps):
+    """Build a jitted scan over ``timesteps`` Matsuno steps with donated state."""
+    filter_fn = make_filter_fn(config, geom)
+
+    def body(state, _):
+        state = full_timestep(state, geom, config, filter_fn)
+        stats = collect_stats(state, geom) if config.stats else None
+        return state, stats
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(state):
+        return jax.lax.scan(body, state, None, length=timesteps)
+
+    return run
+
+
+def gen_model_state(geom, config) -> ModelState:
+    """Initial state incl. the reference's driver-level tweaks
+    (``run_model`` sets u = 0 and seeds v[0,0,0] = 0.1,
+    reference no_limits_2_5d.py:224-226)."""
+    dtype = jnp.dtype(config.dtype)
+    prog, ground = gen_initial_conditions(geom, dtype=dtype)
+    u = jnp.zeros_like(prog.u)
+    v = prog.v.at[0, 0, 0].set(0.1)
+    prog = prog._replace(u=u, v=v)
+    return ModelState(prog, ground, jnp.asarray(0.0, dtype))
+
+
+def run_model(height, width, layers, dt, timesteps, callback=None,
+              config: ModelConfig = None):
+    """Reference-compatible entry point (reference no_limits_2_5d.py:220-236).
+
+    Returns (p, u, v, t, q, ground, geom, stats).  With ``callback`` the run
+    is a Python loop over a jitted single step (callback gets (p,u,v,t,q)
+    per step); otherwise the whole run is one compiled scan.
+    """
+    if config is None:
+        config = ModelConfig(height=height, width=width, layers=layers, dt=dt)
+    else:
+        import dataclasses
+        config = dataclasses.replace(
+            config, height=height, width=width, layers=layers, dt=dt)
+
+    geom = geometry.gen_geometry(height, width, layers,
+                                 sig_func=config.sig_func)
+    geom = geom.astype(np.dtype(config.dtype))
+    state = gen_model_state(geom, config)
+
+    if callback is None:
+        run = make_run_fn(geom, config, timesteps)
+        state, stats = run(state)
+    else:
+        filter_fn = make_filter_fn(config, geom)
+        step = jax.jit(lambda s: full_timestep(s, geom, config, filter_fn))
+        stats_list = []
+        for _ in range(timesteps):
+            state = step(state)
+            if config.stats:
+                stats_list.append(jax.device_get(collect_stats(state, geom)))
+            prog = state.prog
+            callback(prog.p, prog.u, prog.v, prog.t, prog.q)
+        stats = (jax.tree.map(lambda *xs: np.stack(xs), *stats_list)
+                 if stats_list else None)
+
+    prog, ground = state.prog, state.ground
+    return prog.p, prog.u, prog.v, prog.t, prog.q, ground, geom, stats

@@ -1,0 +1,83 @@
+"""Arakawa & Lamb 1977 polar zonal low-pass filter.
+
+TPU-native twin of reference ``low_pass.py:41-78``: near the poles, where
+lat-lon cells narrow, zonal wavenumber ``n`` is damped by
+
+    smmz(n, j) = 1 - max(0, 1 - 1/(sin(pi n / I) * dy/dx_j))
+
+applied in rFFT space along longitude.  The mask is static per geometry and
+precomputed into ``Geom.polar_mask`` (see ``gcmiipy_tpu/grid/geometry.py``).
+
+Two interchangeable implementations:
+
+* :func:`arakawa_1977` — rFFT / mask / irFFT, one-chip path (XLA FFT).
+* :func:`arakawa_1977_matmul` + :func:`build_filter_matrices` — the filter is
+  a per-latitude real circulant I x I matrix, so filtering is a batched
+  matmul.  Exact (same mask), MXU-friendly, and decomposition-friendly: under
+  a sharded longitude axis it is an ordinary sharded matmul for which XLA
+  inserts the collectives, instead of a global FFT.
+
+The reference's ``irfft`` with default length breaks on odd I
+(``low_pass.py:77``); here the inverse length is pinned to I, which is the
+exact generalization.  ``avrx`` (reference ``low_pass.py:14-38``) is the
+earlier hard-cutoff variant, kept for completeness.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def arakawa_1977(q, geom):
+    """Filter ``q`` ([j,i] or [k,j,i]) along longitude (reference low_pass.py:41-78)."""
+    im = q.shape[-1]
+    if im == 1:  # (reference low_pass.py:58-59)
+        return q
+    mask = jnp.asarray(geom.polar_mask, dtype=q.dtype)  # (J, I//2+1)
+    f_q = jnp.fft.rfft(q, axis=-1)
+    f_q = f_q * mask
+    return jnp.fft.irfft(f_q, n=im, axis=-1).astype(q.dtype)
+
+
+def avrx(q, geom):
+    """Hard-cutoff zonal filter, earlier variant (reference low_pass.py:14-38).
+
+    Zeroes every zonal wavenumber whose wavelength ratio exceeds 1/2:
+    keeps n where n/I * dy/dx_j <= 1/2.
+    """
+    im = q.shape[-1]
+    if im == 1:
+        return q
+    freqs = np.fft.rfftfreq(im)                       # n/I
+    dx_row = np.asarray(geom.dx_j).reshape(-1)        # (J,)
+    ratios = freqs[None, :] / dx_row[:, None] * float(geom.dy)
+    mask = jnp.asarray((ratios <= 0.5).astype(np.float64))
+    f_q = jnp.fft.rfft(q, axis=-1) * mask.astype(q.dtype)
+    return jnp.fft.irfft(f_q, n=im, axis=-1).astype(q.dtype)
+
+
+def build_filter_matrices(geom, dtype=np.float32):
+    """Per-latitude real circulant filter matrices F, shape (J, I, I).
+
+    Row j of the filtered field is ``F[j] @ q[..., j, :]``.  Because the mask
+    is real and applied to an rFFT, F is the real circulant whose first row is
+    ``irfft(mask[j], n=I)``; column k is that row rolled by k.
+    """
+    height, width = geom.height, geom.width
+    mask = np.asarray(geom.polar_mask, dtype=np.float64)  # (J, I//2+1)
+    kernel = np.fft.irfft(mask, n=width, axis=-1)          # (J, I) impulse response
+    # Circulant: F[j, a, b] = kernel[j, (a - b) mod I]
+    a = np.arange(width)
+    idx = (a[:, None] - a[None, :]) % width
+    F = kernel[:, idx]                                     # (J, I, I)
+    return F.astype(dtype)
+
+
+def arakawa_1977_matmul(q, filter_matrices):
+    """Apply the polar filter as a batched per-row matmul.
+
+    ``q``: [..., J, I]; ``filter_matrices``: (J, I, I) from
+    :func:`build_filter_matrices`.  out[..., j, a] = sum_b F[j,a,b] q[..., j, b].
+    """
+    F = jnp.asarray(filter_matrices, dtype=q.dtype)
+    return jnp.einsum('jab,...jb->...ja', F, q,
+                      preferred_element_type=q.dtype)

@@ -1,0 +1,322 @@
+"""Grey-gas radiation column physics.
+
+TPU-native twin of reference ``grey_solar.py``: a single-band ("grey")
+shortwave + longwave radiative transfer with ozone/CO2/H2O absorbers, Hansen
+1983 cloud optical thickness and a slab ground.  Everything is column-local
+(embarrassingly parallel over (j, i)); the vertical sweeps are
+``lax.scan`` recurrences over the <=18 sigma layers, fused per column so no
+HBM round-trips occur between levels (SURVEY.md section 7 "hard parts").
+
+SI units throughout.  The three public entry points mirror the reference:
+
+* :func:`grey_solar` — SW-only sweep with ozone+H2O and clouds
+  (reference ``grey_solar.py:106-184``).
+* :func:`grey_radiation` — full SW+LW down/up sweeps with clouds
+  (reference ``grey_solar.py:192-320``).
+* :func:`basic_grey_radiation` — the AD section 2.7 grey atmosphere used by
+  the model driver (reference ``grey_solar.py:358-563``).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from gcmiipy_tpu import constants
+from gcmiipy_tpu.physics import ozone as ozone_mod
+from gcmiipy_tpu.physics import thermo
+from gcmiipy_tpu.physics.humidity import vmr_from_mmr
+
+
+def mmr_from_vmr(vmr, mmg, mma):
+    """Mass from volumetric mixing ratio (reference grey_solar.py:21-26)."""
+    return vmr * mmg / mma
+
+
+# 300 ppm CO2 as mass mixing ratio (reference grey_solar.py:29)
+co2_mmr = mmr_from_vmr(300 / 1e6, constants.M_CO2, constants.Md)
+
+# Grey absorption cross-sections [m^2/kg] (reference grey_solar.py:76-83)
+h2o_weight = 0.125
+liquid_weight = 5.0
+co2_weight = 1.0
+co2_sw_weight = co2_weight
+# The reference sets ozone_weight = 0.01 in the units of h2o_weight
+# (grey_solar.py:82): a plain 0.01 m^2/kg.
+ozone_weight = 0.01
+
+
+def daily_average_irradiance(lat, declination):
+    """Manabe 1964 daily-mean insolation (reference grey_solar.py:32-36).
+
+    ``lat``/``declination`` in radians; returns W/m^2.
+    """
+    dH = jnp.arccos(-jnp.tan(lat) * jnp.tan(declination))
+    manabe64_Sc = 2 * 41840.0 / 60.0  # J/m^2/min -> W/m^2
+    return manabe64_Sc / math.pi * (
+        dH * jnp.sin(lat) * jnp.sin(declination)
+        + jnp.cos(lat) * jnp.cos(declination) * jnp.sin(dH)
+    )
+
+
+def solar_zenith_angle(latitude, hour_angle, declination):
+    """cos(solar zenith angle) (reference grey_solar.py:40-46).  Radians."""
+    return (jnp.sin(latitude) * jnp.sin(declination)
+            + jnp.cos(latitude) * jnp.cos(declination) * jnp.cos(hour_angle))
+
+
+def zenith_angle(longs, lats, time, geom):
+    """Clamped cos(zenith) over the grid at UTC ``time`` [s]
+    (reference grey_solar.py:49-65).  ``longs`` (I,), ``lats`` (J,1), radians."""
+    hour_angle = time / (-24.0 * 3600.0) * 2 * math.pi  # sun moves west
+    point_angle = longs + hour_angle                    # (I,) broadcasts
+    sza = solar_zenith_angle(lats, point_angle, 0.0)    # (J, I)
+    return jnp.maximum(sza, 0.0)
+
+
+def compute_absorbance(gasses, rho, path_length):
+    """Beer-Lambert absorbance sum over (mixing ratio, cross-section) pairs
+    (reference grey_solar.py:85-91)."""
+    absorbance = jnp.zeros(jnp.shape(rho), dtype=jnp.result_type(rho))
+    for gas, coefficient in gasses:
+        absorbance = absorbance + gas * rho * path_length * coefficient
+    return absorbance
+
+
+def hansen_cloud_thickness(tp, tt):
+    """Cloud optical thickness, Hansen 1983 eq. 21 (reference grey_solar.py:94-101).
+
+    Mutation order matters and is preserved: cold layers (<258 K) get 1/3,
+    then negatives are clamped to 0.
+    """
+    thickness = (tp - 100.0e2) * 0.0133 / 100.0   # per hPa -> per Pa
+    thickness = jnp.where(tt < 258.0, 1.0 / 3.0, thickness)
+    return jnp.where(thickness < 0, 0.0, thickness)
+
+
+def _sw_cloud_sweep(downwelling_top, transmittance, t_cloud, cloud_albedo, c):
+    """Downward SW sweep with partial cloud (reference grey_solar.py:157-171).
+
+    Returns (downwelling levels L+1..0 stacked bottom-up, absorbed per layer,
+    reflected total).  All recurrences run top->bottom via lax.scan.
+    """
+    def body(carry, xs):
+        previous, reflected_total = carry
+        trans_layer, t_cloud_layer, albedo_layer = xs
+        absorbed_nc = (1 - c) * (previous * (1 - trans_layer))
+        reflected = c * albedo_layer * previous
+        absorbed_c = c * (1 - albedo_layer) * previous * (1 - t_cloud_layer)
+        total_absorbed = absorbed_nc + absorbed_c
+        transmitted = previous - total_absorbed - reflected
+        return (transmitted, reflected_total + reflected), (transmitted, total_absorbed)
+
+    xs = (transmittance, t_cloud, cloud_albedo)
+    # scan from the top layer (index L-1) down to 0
+    (last, reflected), (down_levels, absorbed) = jax.lax.scan(
+        body, (downwelling_top, jnp.zeros_like(downwelling_top)), xs, reverse=True)
+    return down_levels, absorbed, reflected
+
+
+def grey_solar(p, q, t, c, gt, utc, dt, geom):
+    """SW-only grey sweep; returns (t_next, downwelling levels)
+    (reference grey_solar.py:106-184)."""
+    sig = jnp.asarray(geom.sig, t.dtype)
+    dsig = jnp.asarray(geom.dsig, t.dtype)
+    ptop = jnp.asarray(geom.ptop, t.dtype)
+
+    tp = p * sig + ptop
+    tt = thermo.to_true_temp(t, tp)
+    rho = tp / (constants.Rd * tt)
+    dp = p * dsig
+    oc = ozone_mod.ozone_at(tp)
+
+    depth = dp / (rho * constants.G)
+    path_length = depth
+
+    gasses = [(oc, ozone_weight), (q, h2o_weight)]
+    absorbance = compute_absorbance(gasses, rho, path_length)
+    transmittance = 10.0 ** -absorbance
+    a_cloud = absorbance * 1.66  # Manabe diffuse path factor (grey_solar.py:145)
+    t_cloud = 10.0 ** -a_cloud
+
+    cloud_thickness = hansen_cloud_thickness(tp, tt)
+    cloud_albedo = (1 - jnp.exp(-cloud_thickness)) * 0.7
+
+    top = jnp.full(p.shape, constants.solar_constant * 0.25, dtype=t.dtype)
+    down_levels, absorbed, _ = _sw_cloud_sweep(
+        top, transmittance, t_cloud, cloud_albedo, c)
+    downwelling = jnp.concatenate([down_levels, top[None]], axis=0)
+
+    dT = absorbed / constants.Cp / rho / depth * dt
+    tt_n = tt + dT
+    t_n = thermo.to_potential_temp(tt_n, tp)
+    return t_n, downwelling
+
+
+def grey_radiation(p, q, tt, c, g, utc, dt, geom):
+    """Full SW+LW grey radiation with clouds; returns
+    (dt_ground, dt_air, TOA thermal upwelling) (reference grey_solar.py:192-320)."""
+    sig = jnp.asarray(geom.sig, tt.dtype)
+    dsig = jnp.asarray(geom.dsig, tt.dtype)
+    ptop = jnp.asarray(geom.ptop, tt.dtype)
+
+    tp = p * sig + ptop
+    rho = tp / (constants.Rd * tt)
+    dp = p * dsig
+    depth = dp / (rho * constants.G)
+    path_length = depth
+
+    # Manabe64 solar constant halved twice (reference grey_solar.py:207-209)
+    irradiance = 2 * 41840.0 / 60.0 * 0.5 * 0.5
+
+    sw_gasses = [(q, h2o_weight), (co2_mmr, co2_sw_weight)]
+    sw_absorbance = compute_absorbance(sw_gasses, rho, path_length)
+    sw_transmittance = 10.0 ** -sw_absorbance
+    sw_t_cloud = 10.0 ** -(sw_absorbance * 1.66)
+
+    lw_gasses = [(q, h2o_weight), (co2_mmr, co2_weight)]
+    lw_absorbance = compute_absorbance(lw_gasses, rho, path_length)
+
+    cloud_thickness = hansen_cloud_thickness(tp, tt)
+    sw_cloud_albedo = (1 - jnp.exp(-cloud_thickness)) * 0.7
+    lw_cloud_absorbance = cloud_thickness / math.log(10.0) + lw_absorbance
+
+    lw_emissivity = 1 - 10.0 ** -lw_absorbance
+    lw_cloud_emissivity = 1 - 10.0 ** -lw_cloud_absorbance
+
+    emittance = (constants.sb_constant * tt ** 4
+                 * ((1 - c) * lw_emissivity + c * lw_cloud_emissivity))
+    ground_emittance = constants.sb_constant * g.gt ** 4
+
+    # --- downwelling sweeps (SW with clouds, LW with emission), top->bottom
+    top_sw = jnp.full(p.shape, irradiance, dtype=tt.dtype)
+    sw_levels, absorbed_sw, reflected = _sw_cloud_sweep(
+        top_sw, sw_transmittance, sw_t_cloud, sw_cloud_albedo, c)
+
+    def lw_down_body(previous, xs):
+        emit_layer, eps_clear, eps_cloud = xs
+        total_absorbtion = (c * eps_cloud + (1 - c) * eps_clear) * previous
+        lw_transmitted = previous - total_absorbtion
+        nxt = lw_transmitted + emit_layer
+        return nxt, (nxt, total_absorbtion)
+
+    zero = jnp.zeros(p.shape, dtype=tt.dtype)
+    xs = (emittance,
+          jnp.broadcast_to(lw_emissivity, emittance.shape),
+          jnp.broadcast_to(lw_cloud_emissivity, emittance.shape))
+    _, (lw_down_levels, lw_absorbed_dw) = jax.lax.scan(
+        lw_down_body, zero, xs, reverse=True)
+
+    absorbed = absorbed_sw + lw_absorbed_dw
+
+    # --- ground budget (reference grey_solar.py:290-293)
+    ground_albedo = 0.1
+    ground_sw_absorbtion = (1 - ground_albedo) * sw_levels[0]
+    ground_lw_absorbtion = lw_down_levels[0]
+    ground_absorbtion = ground_sw_absorbtion + ground_lw_absorbtion
+
+    # --- upwelling LW sweep, bottom->top, starting from ground emittance
+    def lw_up_body(previous, xs):
+        emit_layer, eps_clear, eps_cloud = xs
+        total_absorbtion = (c * eps_cloud + (1 - c) * eps_clear) * previous
+        lw_transmitted = previous - total_absorbtion
+        nxt = lw_transmitted + emit_layer
+        return nxt, total_absorbtion
+
+    toa_up, lw_absorbed_uw = jax.lax.scan(lw_up_body, ground_emittance, xs)
+    absorbed = absorbed + lw_absorbed_uw
+
+    dt_ground = (ground_absorbtion - ground_emittance) / constants.Cg / 0.1
+    dt_air = (absorbed - 2 * emittance) / (constants.Cp * rho * depth)
+    return dt_ground, dt_air, toa_up
+
+
+def basic_grey_transmittances(t_lw, t_sw, geom):
+    """Per-layer transmittances t^dsig (reference grey_solar.py:323-333)."""
+    dsig = jnp.asarray(geom.dsig)
+    lw_transmittance = t_lw ** dsig
+    sw_transmittance = t_sw ** dsig
+    return lw_transmittance, sw_transmittance
+
+
+def basic_3_gas_absorbance(p, tp, tt, rho, q, geom):
+    """LW (H2O+CO2) and SW (empty) grey absorbances
+    (reference grey_solar.py:336-355)."""
+    dsig = jnp.asarray(geom.dsig, q.dtype)
+    dp = p * dsig
+    depth = dp / (rho * constants.G)
+    sw_absorbance = compute_absorbance([], rho, depth)
+    lw_absorbance = compute_absorbance(
+        [(q, h2o_weight), (co2_mmr, co2_weight)], rho, depth)
+    return lw_absorbance, sw_absorbance
+
+
+def basic_grey_radiation(p, tp, tt, g, t_lw, t_sw, albedo, utc, geom):
+    """Basic grey atmosphere, Atmospheric Dynamics section 2.7
+    (reference grey_solar.py:358-563) — the radiation actually wired into the
+    model driver (reference no_limits_2_5d.py:69).
+
+    Returns (dTdt [K/s] per layer, dt_ground [K/s]).
+    """
+    dtype = tt.dtype
+    dsig = jnp.asarray(geom.dsig, dtype)
+
+    lw_transmittance, sw_transmittance = basic_grey_transmittances(t_lw, t_sw, geom)
+    lw_transmittance = jnp.asarray(lw_transmittance, dtype)
+    sw_transmittance = jnp.asarray(sw_transmittance, dtype)
+
+    # 1) emission reaching the surface (eq. 2.25, grey_solar.py:374-386)
+    emission = (1 - lw_transmittance) * constants.sb_constant * tt ** 4
+    cum_sw_trans_from_top = jnp.flip(
+        jnp.cumprod(jnp.flip(sw_transmittance, 0), axis=0), 0)
+    cum_lw_trans_from_bottom = jnp.cumprod(lw_transmittance, axis=0)
+    clw_b_div = cum_lw_trans_from_bottom / lw_transmittance
+    B = jnp.sum(emission * clw_b_div, axis=0)
+
+    # 2) solar received (eq. 2.26, grey_solar.py:390-394)
+    sza = zenith_angle(jnp.asarray(geom.long, dtype),
+                       jnp.asarray(geom.lat, dtype), utc, geom)
+    Sc = constants.solar_constant * sza
+    S = (1 - albedo) * Sc * cum_sw_trans_from_top[0]
+
+    # 3) surface emission (eq. 2.27, grey_solar.py:398-399)
+    U_s = constants.sb_constant * g.gt ** 4
+
+    dt_ground = (B + S - U_s) / constants.Cg / 0.1
+
+    # Downwelling LW absorption per layer, top->bottom (grey_solar.py:480-492)
+    lw_t_full = jnp.broadcast_to(lw_transmittance, emission.shape)
+
+    def down_body(previous, xs):
+        lw_t, emit_layer = xs
+        absorbed_here = previous * (1 - lw_t)
+        nxt = previous * lw_t + emit_layer
+        return nxt, absorbed_here
+
+    zero = jnp.zeros(jnp.shape(Sc), dtype=dtype)
+    _, LWA_a = jax.lax.scan(down_body, zero, (lw_t_full, emission),
+                            reverse=True)
+
+    # Upwelling absorption from layer emission only (no ground term: the
+    # ground is handled analytically by U_n) (grey_solar.py:513-518)
+    def up_body(previous, xs):
+        lw_t, emit_layer = xs
+        absorbed_here = previous * (1 - lw_t)
+        nxt = previous * lw_t + emit_layer
+        return nxt, absorbed_here
+
+    _, LWA_b = jax.lax.scan(up_body, zero, (lw_t_full, emission))
+
+    # absorbed terrestrial radiation, eq. 2.30 (grey_solar.py:534)
+    U_n = clw_b_div * U_s * (1 - lw_transmittance)
+
+    # absorbed solar radiation, eq. 2.31 (grey_solar.py:540)
+    S_n = (1 - sw_transmittance) * cum_sw_trans_from_top / sw_transmittance * Sc
+
+    # emitted longwave, eq. 2.32 (grey_solar.py:547)
+    B_n = emission
+
+    # temperature tendency, eq. 2.34 (grey_solar.py:554)
+    dTdt = (U_n + S_n - 2 * B_n + LWA_a + LWA_b) * (
+        constants.G / (constants.Cp * p * dsig))
+    return dTdt, dt_ground
