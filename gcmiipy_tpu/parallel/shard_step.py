@@ -1,0 +1,156 @@
+"""Explicit-halo shard_map execution of the 2.5D Matsuno step.
+
+The hand-tuned multi-chip path (SURVEY.md section 2.9): the (lat, lon) grid
+is decomposed over a ('y', 'x') device mesh; each half step
+
+1. exchanges width-3 halos of all prognostic fields via ``ppermute`` rings
+   (periodic wraparound = the ring itself),
+2. runs the unmodified single-chip core (:mod:`gcmiipy_tpu.dynamics.core25d`)
+   on the padded local block — the roll-based stencils read the halos,
+3. computes the polar filter exactly as a per-row matmul against the shard's
+   slice of the circulant filter matrices, gathering each filtered row along
+   the lon axis (``all_gather`` over ICI) — the one op that breaks locality
+   (reference ``low_pass.py:41-78``; SURVEY.md section 5.7),
+4. trims back to the core and applies the polar-row v boundary condition on
+   the shard owning the last global latitude row.
+
+Halo-depth accounting (why width 3 suffices): every stencil chain in
+``half_timestep`` has total radius <= 3 from the inputs, and the two
+filtered fields are recomputed exactly (gather + matmul) and re-padded, so
+the deepest consumer chains (u_n <- pu_n <- dus <- iph(sd) <- conv <-
+spv <- jph(sp)) stay inside the pad.  The GSPMD path
+(:mod:`gcmiipy_tpu.parallel.gspmd`) is the always-correct reference this
+path is tested against.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gcmiipy_tpu.dynamics import core25d
+from gcmiipy_tpu.ops import polar_filter
+from gcmiipy_tpu.parallel import halo
+
+HALO = 3
+
+
+def _pad_geom(geom, dx_j, dx_h, lat, heightmap):
+    """Build the local padded Geom inside the shard_map body.
+
+    Per-row arrays (dx_j, dx_h, lat) arrive as the shard's row slice and are
+    padded along lat; the heightmap along both axes.  Sigma ladders and
+    scalars are replicated closure constants.
+    """
+    dx_j = halo.exchange_axis(dx_j, HALO, "y", -2)
+    dx_h = halo.exchange_axis(dx_h, HALO, "y", -2)
+    lat = halo.exchange_axis(lat, HALO, "y", -2)
+    heightmap = halo.exchange_2d(heightmap, HALO)
+    return dataclasses.replace(
+        geom, dx_j=dx_j, dx_h=dx_h, lat=lat, heightmap=heightmap)
+
+
+def _make_shard_filter(F_local):
+    """Exact polar filter for padded fields inside a shard.
+
+    Input ``q`` is halo-padded; the core is exact, so gathering cores along
+    the lon ring reconstructs the exact global rows.  The local (Jl, Il, I)
+    slice of the circulant filter matrices produces the core output, which
+    is then re-padded so downstream stencils may read across the boundary.
+    """
+    def filter_fn(q, geom):
+        core = halo.trim(q, HALO)                       # exact local core
+        full_rows = jax.lax.all_gather(core, "x", axis=-1, tiled=True)
+        filtered = jnp.einsum("jab,...jb->...ja",
+                              F_local.astype(q.dtype), full_rows,
+                              preferred_element_type=q.dtype)
+        return halo.exchange_2d(filtered, HALO)
+    return filter_fn
+
+
+def make_shard_step(mesh, geom, dt, coriolis=False, dtype=np.float32):
+    """Build a jitted shard_map Matsuno step over ``mesh``.
+
+    Returns ``step(p, u, v, t, q) -> (p, u, v, t, q)`` with all fields
+    sharded P('y','x') / P(None,'y','x').
+    """
+    ny, nx = mesh.devices.shape
+    if geom.height % ny or geom.width % nx:
+        raise ValueError("grid dims must divide the mesh")
+    if geom.height // ny < HALO or geom.width // nx < HALO:
+        raise ValueError(f"shard extents must be >= halo width {HALO}")
+
+    F = polar_filter.build_filter_matrices(geom, dtype=dtype)  # (J, I, I)
+    geom = geom.astype(dtype)
+
+    def body(F_local, dx_j, dx_h, lat, heightmap, p, u, v, t, q):
+        lgeom = _pad_geom(geom, dx_j, dx_h, lat, heightmap)
+        filter_fn = _make_shard_filter(F_local)
+        my_y = jax.lax.axis_index("y")
+        last_shard = my_y == ny - 1
+
+        def apply_bc(v_core):
+            # zero v on the last *global* latitude row (dynamics.py:222)
+            row_ids = jnp.arange(v_core.shape[-2])
+            is_last = (row_ids == v_core.shape[-2] - 1) & last_shard
+            return jnp.where(is_last[:, None], 0.0, v_core)
+
+        def half(args, sargs):
+            pp, uu, vv, tt, qq = [halo.exchange_2d(x, HALO) for x in args]
+            sp, su, sv, st, sq = [halo.exchange_2d(x, HALO) for x in sargs]
+            out = core25d.half_timestep(
+                pp, uu, vv, tt, qq, sp, su, sv, st, sq, dt, lgeom,
+                filter_fn=filter_fn, coriolis=coriolis)
+            p_n, u_n, v_n, t_n, q_n = [halo.trim(x, HALO) for x in out]
+            return p_n, u_n, apply_bc(v_n), t_n, q_n
+
+        state = (p, u, v, t, q)
+        starred = half(state, state)
+        return half(state, starred)
+
+    from jax import shard_map
+
+    surf = P("y", "x")
+    full = P(None, "y", "x")
+    fspec = P("y", "x", None)
+    rowspec = P(None, "y", None)  # (1, J, 1) per-row geometry arrays
+    latspec = P("y", None)        # (J, 1) latitude array
+
+    step = shard_map(
+        body, mesh=mesh,
+        in_specs=(fspec, rowspec, rowspec, latspec, surf,
+                  surf, full, full, full, full),
+        out_specs=(surf, full, full, full, full),
+    )
+
+    F_sharded = jax.device_put(F, NamedSharding(mesh, fspec))
+    dx_j_s = jax.device_put(np.asarray(geom.dx_j),
+                            NamedSharding(mesh, rowspec))
+    dx_h_s = jax.device_put(np.asarray(geom.dx_h),
+                            NamedSharding(mesh, rowspec))
+    lat_s = jax.device_put(np.asarray(geom.lat),
+                           NamedSharding(mesh, latspec))
+    hm_s = jax.device_put(np.asarray(geom.heightmap),
+                          NamedSharding(mesh, surf))
+
+    @jax.jit
+    def run(p, u, v, t, q):
+        return step(F_sharded, dx_j_s, dx_h_s, lat_s, hm_s, p, u, v, t, q)
+
+    return run
+
+
+def shard_prognostics(prog, mesh):
+    """Place a PrognosticVars tuple on the mesh."""
+    surf = NamedSharding(mesh, P("y", "x"))
+    full = NamedSharding(mesh, P(None, "y", "x"))
+    return type(prog)(
+        jax.device_put(prog.p, surf),
+        jax.device_put(prog.u, full),
+        jax.device_put(prog.v, full),
+        jax.device_put(prog.t, full),
+        jax.device_put(prog.q, full),
+    )

@@ -1,0 +1,136 @@
+"""Multi-device correctness: GSPMD and explicit-halo shard_map paths must
+reproduce the single-device core bit-tight on a virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcmiipy_tpu.dynamics import core25d
+from gcmiipy_tpu.grid import geometry
+from gcmiipy_tpu.parallel import gspmd, halo, mesh as mesh_mod, shard_step
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _initial(geom, seed=0):
+    rng = np.random.default_rng(seed)
+    L, H, W = geom.layers, geom.height, geom.width
+    p = jnp.asarray(1.0e5 * (1 + 0.001 * rng.standard_normal((H, W))))
+    u = jnp.asarray(0.5 * rng.standard_normal((L, H, W)))
+    v = jnp.asarray(0.5 * rng.standard_normal((L, H, W)))
+    from gcmiipy_tpu import constants
+    tp = np.asarray(p)[None] * np.asarray(geom.sig) + float(geom.ptop)
+    t = jnp.asarray((300.0 + 5 * rng.standard_normal((L, H, W)))
+                    * (constants.P0 / tp) ** constants.kappa)
+    q = jnp.asarray(1e-5 * (1 + 0.1 * rng.random((L, H, W))))
+    return p, u, v, t, q
+
+
+def test_mesh_shape_heuristic():
+    assert mesh_mod.best_mesh_shape(8) == (2, 4)
+    assert mesh_mod.best_mesh_shape(4) == (2, 2)
+    assert mesh_mod.best_mesh_shape(6) == (2, 3)
+    assert mesh_mod.best_mesh_shape(1) == (1, 1)
+    assert mesh_mod.best_mesh_shape(7) == (1, 7)
+
+
+def test_halo_exchange_matches_roll():
+    # padded array slices must equal what a periodic roll would deliver
+    mesh = mesh_mod.make_mesh(8, shape=(2, 4))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 16)))
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def body(xl):
+        return halo.exchange_2d(xl, 2)
+
+    padded = shard_map(body, mesh=mesh,
+                       in_specs=(P("y", "x"),),
+                       out_specs=P("y", "x"))(x)
+    # shard (0,0) local block is rows 0:4, cols 0:4 -> padded 8x8
+    pad00 = np.asarray(padded)[:8, :8]
+    xg = np.asarray(x)
+    # interior equals the block
+    np.testing.assert_array_equal(pad00[2:6, 2:6], xg[0:4, 0:4])
+    # top pad rows wrap to the bottom of the globe (periodic)
+    np.testing.assert_array_equal(pad00[0:2, 2:6], xg[6:8, 0:4])
+    # left pad cols wrap around the lon ring
+    np.testing.assert_array_equal(pad00[2:6, 0:2], xg[0:4, 14:16])
+    # corners came through the second exchange
+    np.testing.assert_array_equal(pad00[0:2, 0:2], xg[6:8, 14:16])
+
+
+def test_shard_step_matches_single_device():
+    geom = geometry.gen_geometry(16, 32, 3, sig_func=geometry.manabe_sig)
+    mesh = mesh_mod.make_mesh(8, shape=(2, 4))
+    state = _initial(geom)
+    dt = 300.0
+
+    step_sharded = shard_step.make_shard_step(mesh, geom, dt,
+                                              dtype=np.float64)
+    step_single = jax.jit(lambda *s: core25d.matsuno_timestep(*s, dt, geom))
+
+    from gcmiipy_tpu.model.state import PrognosticVars
+    s_ref = state
+    s_shd = tuple(shard_step.shard_prognostics(PrognosticVars(*state), mesh))
+    for _ in range(5):
+        s_ref = step_single(*s_ref)
+        s_shd = step_sharded(*s_shd)
+    for name, a, b in zip("puvtq", s_ref, s_shd):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-9, atol=1e-9,
+                                   err_msg=f"field {name}")
+
+
+def test_shard_step_uneven_mesh_1d():
+    # a 1 x 8 mesh (lon-only decomposition)
+    geom = geometry.gen_geometry(8, 32, 2, sig_func=geometry.manabe_sig)
+    mesh = mesh_mod.make_mesh(8, shape=(1, 8))
+    state = _initial(geom, seed=1)
+    dt = 300.0
+    step_sharded = shard_step.make_shard_step(mesh, geom, dt,
+                                              dtype=np.float64)
+    step_single = jax.jit(lambda *s: core25d.matsuno_timestep(*s, dt, geom))
+    s_ref = step_single(*state)
+    s_shd = step_sharded(*state)
+    for a, b in zip(s_ref, s_shd):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-9, atol=1e-9)
+
+
+def test_gspmd_matches_single_device():
+    from gcmiipy_tpu.model import driver as driver_mod
+    from gcmiipy_tpu.model.config import ModelConfig
+
+    config = ModelConfig(height=16, width=32, layers=3, dtype="float64",
+                         polar_filter="matmul", dt=300.0)
+    geom = geometry.gen_geometry(16, 32, 3, sig_func=geometry.manabe_sig)
+    mesh = mesh_mod.make_mesh(8, shape=(2, 4))
+
+    state = driver_mod.gen_model_state(geom, config)
+    run_single = driver_mod.make_run_fn(geom, config, 5)
+    run_sharded = gspmd.make_sharded_run_fn(geom, config, 5, mesh)
+
+    out_single, _ = run_single(state)
+    state2 = driver_mod.gen_model_state(geom, config)
+    out_sharded, _ = run_sharded(gspmd.shard_state(state2, mesh))
+
+    for a, b in zip(out_single.prog, out_sharded.prog):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-10, atol=1e-10)
+
+
+def test_shard_step_rejects_bad_grid():
+    mesh = mesh_mod.make_mesh(8, shape=(2, 4))
+    # height 4 on a 2-row mesh -> 2-row shards, below the halo width of 3
+    geom = geometry.gen_geometry(4, 32, 2)
+    with pytest.raises(ValueError):
+        shard_step.make_shard_step(mesh, geom, 300.0)
+    # height 9 does not divide the 2-row mesh
+    geom2 = geometry.gen_geometry(9, 32, 2)
+    with pytest.raises(ValueError):
+        shard_step.make_shard_step(mesh, geom2, 300.0)
