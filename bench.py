@@ -21,7 +21,7 @@ import numpy as np
 
 
 def tpu_throughput(height, width, layers, steps, dtype="float32",
-                   polar_filter="fft"):
+                   polar_filter="fft", backend="fused"):
     import jax
     import jax.numpy as jnp
 
@@ -31,11 +31,13 @@ def tpu_throughput(height, width, layers, steps, dtype="float32",
     from gcmiipy_tpu.model.config import ModelConfig
 
     config = ModelConfig(height=height, width=width, layers=layers,
-                         dtype=dtype, polar_filter=polar_filter)
+                         dtype=dtype, polar_filter=polar_filter,
+                         backend=backend)
     geom = geometry.gen_geometry(height, width, layers,
                                  sig_func=geometry.manabe_sig)
     geom = geom.astype(np.dtype(dtype))
     filter_fn = driver_mod.make_filter_fn(config, geom)
+    dyn_step = driver_mod.make_dynamics_step(geom, config, filter_fn)
 
     rng = np.random.default_rng(0)
     p = jnp.asarray(1e5 * (1 + 1e-3 * rng.standard_normal((height, width))),
@@ -52,16 +54,25 @@ def tpu_throughput(height, width, layers, steps, dtype="float32",
 
     dt = 30.0  # small dt: stability irrelevant for throughput, avoids NaN traps
 
-    def body(carry, _):
-        return core25d.matsuno_timestep(*carry, dt, geom,
-                                        filter_fn=filter_fn), None
+    state = (p, u, v, t, q)
+    if backend == "fused":
+        # carry the padded state through the scan: no per-step pad passes
+        from gcmiipy_tpu.dynamics import fused
+        from gcmiipy_tpu.ops import pallas_stencil as ps
+        step_padded = fused.make_fused_matsuno_padded(
+            geom, dt, dtype=dtype, filter_fn=filter_fn)
+        state = tuple(ps.pad_state(x) for x in state)
+
+        def body(carry, _):
+            return step_padded(*carry), None
+    else:
+        def body(carry, _):
+            return dyn_step(*carry), None
 
     @jax.jit
     def run(state):
         out, _ = jax.lax.scan(body, state, None, length=steps)
         return out
-
-    state = (p, u, v, t, q)
     # warmup/compile
     out = run(state)
     jax.block_until_ready(out)
@@ -111,10 +122,12 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--baseline-height", type=int, default=128)
     ap.add_argument("--baseline-width", type=int, default=256)
+    ap.add_argument("--backend", default="fused", choices=["fused", "xla"])
     args = ap.parse_args()
 
     tpu_pps, sec_per_step = tpu_throughput(
-        args.height, args.width, args.layers, args.steps)
+        args.height, args.width, args.layers, args.steps,
+        backend=args.backend)
     print(f"# tpu: {tpu_pps:.3e} points/s ({sec_per_step*1e3:.2f} ms/step "
           f"at {args.layers}x{args.height}x{args.width})", file=sys.stderr)
 

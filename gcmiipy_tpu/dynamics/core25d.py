@@ -51,6 +51,29 @@ def un_pv(pv, p):
     return pv / jph(p)
 
 
+def _suffix_sum_k(x):
+    """sd[k] = sum_{k' >= k} x[k'] — statically unrolled over the <= 20
+    sigma layers (identical summation order to cumsum-of-reversed; unrolled
+    because Mosaic has no `rev`/`cumsum` lowering and L is tiny)."""
+    L = x.shape[0]
+    ys = [None] * L
+    acc = x[L - 1]
+    ys[L - 1] = acc
+    for k in range(L - 2, -1, -1):
+        acc = acc + x[k]
+        ys[k] = acc
+    return jnp.stack(ys, axis=0)
+
+
+def _prefix_sum_k(x):
+    """Cumulative sum over the layer axis, statically unrolled."""
+    L = x.shape[0]
+    ys = [x[0]]
+    for k in range(1, L):
+        ys.append(ys[-1] + x[k])
+    return jnp.stack(ys, axis=0)
+
+
 def aflux(pu, pv, geom):
     """Mass convergence -> surface-pressure tendency and sigma-dot
     (reference dynamics.py:35-46).
@@ -68,9 +91,10 @@ def aflux(pu, pv, geom):
     pit = jnp.sum(conv, axis=0)
 
     # reverse cumulative sum over k: sd[k] = sum_{k' >= k} conv[k']
-    sd = jnp.flip(jnp.cumsum(jnp.flip(conv, axis=0), axis=0), axis=0)
+    sd = _suffix_sum_k(conv)
     sd = sd - pit * sigb
-    sd = sd.at[0].set(0.0)  # surface boundary condition (dynamics.py:44)
+    # surface boundary condition (dynamics.py:44)
+    sd = jnp.concatenate([jnp.zeros_like(sd[:1]), sd[1:]], axis=0)
     return pit, sd
 
 
@@ -147,9 +171,9 @@ def compute_geopotential(p, t, geom):
     pkup = kp(pkdn)
     stp = constants.Cp * kph(t) * (pkdn - pkup)
     s2 = sigt * stp
-    stp_n = km(stp)
-    stp_n = stp_n.at[0].set(jnp.sum(s1 - s2, axis=0) + heightmap * constants.G)
-    return jnp.cumsum(stp_n, axis=0)
+    base = jnp.sum(s1 - s2, axis=0) + heightmap * constants.G
+    stp_n = jnp.concatenate([base[None], km(stp)[1:]], axis=0)
+    return _prefix_sum_k(stp_n)
 
 
 def compute_geopotential_hydrostatic(p, t, geom):
@@ -203,6 +227,41 @@ def advec_t(pu, pv, t, geom):
     return (tpu - imj(tpu)) / dx_j + (tpv - ijm(tpv)) / dy
 
 
+def half_timestep_parts(p, u, v, t, q, sp, su, sv, st, sq, spu, dt, geom,
+                        coriolis=False):
+    """Everything between the two polar-filter applications of a half step
+    (reference dynamics.py:183-227).
+
+    ``spu`` is the already-filtered zonal mass flux.  Returns
+    ``(p_n, v_n, t_n, q_n, pu_partial, pg_phi)`` where ``pu_partial`` still
+    lacks the filtered force (``pgfu``) and ``pg_phi = pgu + phiu`` is the
+    quantity awaiting the second filter.  Isolated so the fused Pallas
+    kernel (:mod:`gcmiipy_tpu.ops.pallas_stencil`) and the XLA path share
+    one definition; the polar-row v boundary condition is applied by the
+    caller (it targets a global row, which a tiled kernel cannot see).
+    """
+    pu = calc_pu(p, u)
+    pv = calc_pv(p, v)
+    spv = calc_pv(sp, sv)
+
+    pit, sd = aflux(spu, spv, geom)
+    p_n = p - pit * dt
+
+    dut, dvt = advec_m_pu(sp, su, sv, spu, spv, geom, coriolis=coriolis)
+    pgu, pgv, phiu, phiv = pgf(sp, st, geom)
+    dus = advec_sig(iph(sd), su, geom)
+    dvs = advec_sig(jph(sd), sv, geom)
+
+    pu_partial = pu - (dut + dus) * dt
+    pv_n = pv - (dvt + dvs + phiv + pgv) * dt
+    v_n = un_pv(pv_n, p_n)
+
+    t_n = (t * p - (advec_t(spu, spv, st, geom) + advec_sig(sd, st, geom)) * dt) / p_n
+    q_n = (q * p - (advec_t(spu, spv, sq, geom) + advec_sig(sd, sq, geom)) * dt) / p_n
+
+    return p_n, v_n, t_n, q_n, pu_partial, pgu + phiu
+
+
 def half_timestep(p, u, v, t, q, sp, su, sv, st, sq, dt, geom,
                   filter_fn=None, coriolis=False):
     """One forward(-backward) half step of the Matsuno scheme
@@ -215,30 +274,17 @@ def half_timestep(p, u, v, t, q, sp, su, sv, st, sq, dt, geom,
     if filter_fn is None:
         filter_fn = polar_filter.arakawa_1977
 
-    pu = calc_pu(p, u)
-    spu = filter_fn(calc_pu(sp, su), geom)  # filter zonal mass flux (dynamics.py:189)
-    pv = calc_pv(p, v)
-    spv = calc_pv(sp, sv)
+    # filter the zonal mass flux (dynamics.py:189)
+    spu = filter_fn(calc_pu(sp, su), geom)
 
-    pit, sd = aflux(spu, spv, geom)
-    p_n = p - pit * dt
-
-    dut, dvt = advec_m_pu(sp, su, sv, spu, spv, geom, coriolis=coriolis)
-    pgu, pgv, phiu, phiv = pgf(sp, st, geom)
-    dus = advec_sig(iph(sd), su, geom)
-    dvs = advec_sig(jph(sd), sv, geom)
+    p_n, v_n, t_n, q_n, pu_partial, pg_phi = half_timestep_parts(
+        p, u, v, t, q, sp, su, sv, st, sq, spu, dt, geom, coriolis=coriolis)
 
     # filter the zonal pressure-gradient + geopotential force (dynamics.py:202)
-    pgfu = filter_fn(pgu + phiu, geom)
+    pgfu = filter_fn(pg_phi, geom)
 
-    pu_n = pu - (dut + dus + pgfu) * dt
-    pv_n = pv - (dvt + dvs + phiv + pgv) * dt
-
+    pu_n = pu_partial - pgfu * dt
     u_n = un_pu(pu_n, p_n)
-    v_n = un_pv(pv_n, p_n)
-
-    t_n = (t * p - (advec_t(spu, spv, st, geom) + advec_sig(sd, st, geom)) * dt) / p_n
-    q_n = (q * p - (advec_t(spu, spv, sq, geom) + advec_sig(sd, sq, geom)) * dt) / p_n
 
     # southern-row wall: kill v on the last latitude row (dynamics.py:222)
     v_n = v_n.at[:, -1, :].set(0.0)

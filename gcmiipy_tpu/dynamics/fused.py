@@ -1,0 +1,127 @@
+"""Matsuno step with the fused Pallas tendency kernel.
+
+Same numerics as :func:`gcmiipy_tpu.dynamics.core25d.matsuno_timestep` —
+the kernel body calls the same ``half_timestep_parts`` — but the stencil
+work runs as one HBM pass per half step instead of ~12.  The polar filter
+and the final momentum update remain XLA ops between kernel calls.
+"""
+
+import jax.numpy as jnp
+
+from gcmiipy_tpu.dynamics import core25d
+from gcmiipy_tpu.ops import pallas_stencil, polar_filter
+
+
+def make_fused_matsuno(geom, dt, coriolis=False, dtype=jnp.float32,
+                       filter_fn=None, tile_j=None, tile_i=None,
+                       interpret=False):
+    """Build ``step(p,u,v,t,q) -> (p,u,v,t,q)`` running the fused kernel."""
+    if filter_fn is None:
+        filter_fn = polar_filter.arakawa_1977
+    parts = pallas_stencil.make_fused_parts(
+        geom, dt, coriolis=coriolis, dtype=dtype, tile_j=tile_j,
+        tile_i=tile_i, interpret=interpret)
+
+    def half(base, seval):
+        p, u, v, t, q = base
+        sp, su, sv, st, sq = seval
+        spu = filter_fn(core25d.calc_pu(sp, su), geom)
+        p_n, v_n, t_n, q_n, pu_partial, pg_phi = parts(
+            p, u, v, t, q, sp, su, sv, st, sq, spu)
+        pgfu = filter_fn(pg_phi, geom)
+        pu_n = pu_partial - pgfu * dt
+        u_n = core25d.un_pu(pu_n, p_n)
+        v_n = v_n.at[:, -1, :].set(0.0)  # polar wall (dynamics.py:222)
+        return p_n, u_n, v_n, t_n, q_n
+
+    def step(p, u, v, t, q):
+        base = (p, u, v, t, q)
+        starred = half(base, base)
+        return half(base, starred)
+
+    return step
+
+
+def make_fused_matsuno_padded(geom, dt, coriolis=False, dtype=jnp.float32,
+                              filter_fn=None, tile_j=32, tile_i=None,
+                              interpret=False):
+    """Matsuno step over padded-state arrays (see pallas_stencil.PHJ/PHX).
+
+    ``step(padded_state) -> padded_state`` where padded_state is the
+    5-tuple of wrap-padded fields.  Use :func:`pallas_stencil.pad_state` /
+    ``core`` to convert at the run boundary; inside a scan no full-array
+    padding happens — only strip refreshes.
+    """
+    from gcmiipy_tpu.ops.pallas_stencil import (
+        core as core_of, pad_state, refresh_halo, shifted_core,
+        make_fused_parts_padded)
+
+    if filter_fn is None:
+        filter_fn = polar_filter.arakawa_1977
+    parts = make_fused_parts_padded(
+        geom, dt, coriolis=coriolis, dtype=dtype, tile_j=tile_j,
+        tile_i=tile_i, interpret=interpret)
+    H = geom.height
+
+    def half(base_pad, seval_pad):
+        sp_p, su_p = seval_pad[0], seval_pad[1]
+        # spu core = su * iph(sp): computed straight off the padded arrays
+        spu_core = core_of(su_p) * (core_of(sp_p) + shifted_core(sp_p, 0, 1)) / 2
+        spu_pad = pad_state(filter_fn(spu_core, geom))
+
+        pn_pad, vn_pad, tn_pad, qn_pad, pup, pg_phi = parts(
+            *base_pad, *seval_pad, spu_pad)
+
+        # polar wall on the last core row before halos are refreshed
+        from gcmiipy_tpu.ops.pallas_stencil import PHJ
+        vn_pad = vn_pad.at[:, PHJ + H - 1, :].set(0.0)
+
+        pn_pad = refresh_halo(pn_pad)
+        vn_pad = refresh_halo(vn_pad)
+        tn_pad = refresh_halo(tn_pad)
+        qn_pad = refresh_halo(qn_pad)
+
+        pgfu = filter_fn(pg_phi, geom)
+        pu_n = pup - pgfu * dt
+        iph_pn = (core_of(pn_pad) + shifted_core(pn_pad, 0, 1)) / 2
+        un_pad = pad_state(pu_n / iph_pn)
+        return pn_pad, un_pad, vn_pad, tn_pad, qn_pad
+
+    def step(p_pad, u_pad, v_pad, t_pad, q_pad):
+        base = (p_pad, u_pad, v_pad, t_pad, q_pad)
+        starred = half(base, base)
+        return half(base, starred)
+
+    return step
+
+
+def fused_grid_supported(geom):
+    """The padded-output kernel needs lat tiles of 8 and lon tiles of 128
+    (Mosaic tiling divisibility for aligned in-place writes)."""
+    return geom.height % 8 == 0 and geom.width % 128 == 0
+
+
+def make_fused_step(geom, dt, coriolis=False, dtype=jnp.float32,
+                    filter_fn=None, tile_j=32, tile_i=None, interpret=False):
+    """Drop-in fused replacement for ``core25d.matsuno_timestep``:
+    unpadded-state signature, padded-state pipeline inside.
+
+    Grids whose height is not a multiple of 8 or width not a multiple of
+    128 fall back to the XLA core (same numerics, slower)."""
+    if not fused_grid_supported(geom):
+        from gcmiipy_tpu.dynamics import core25d
+        return lambda *s: core25d.matsuno_timestep(
+            *s, dt, geom, filter_fn=filter_fn, coriolis=coriolis)
+
+    from gcmiipy_tpu.ops.pallas_stencil import core as core_of, pad_state
+
+    step_padded = make_fused_matsuno_padded(
+        geom, dt, coriolis=coriolis, dtype=dtype, filter_fn=filter_fn,
+        tile_j=tile_j, tile_i=tile_i, interpret=interpret)
+
+    def step(p, u, v, t, q):
+        s = tuple(pad_state(x.astype(dtype)) for x in (p, u, v, t, q))
+        s = step_padded(*s)
+        return tuple(core_of(x) for x in s)
+
+    return step

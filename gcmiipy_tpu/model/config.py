@@ -42,6 +42,8 @@ class ModelConfig:
     dtype: str = "float32"
     # 'fft' | 'matmul' polar filter implementation
     polar_filter: str = "fft"
+    # 'xla' | 'fused' (Pallas) stencil backend for the 2.5D core
+    backend: str = "xla"
 
     # Diagnostics cadence: steps per scan chunk when collecting stats
     stats: bool = True

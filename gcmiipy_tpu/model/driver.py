@@ -61,17 +61,29 @@ def solar_timestep(t, p, g, dt, utc, geom, config):
     return t_n, GroundVars(gt_n, g.gw, g.snow, g.ice)
 
 
-def full_timestep(state: ModelState, geom, config, filter_fn) -> ModelState:
+def make_dynamics_step(geom, config, filter_fn):
+    """Select the stencil backend: plain XLA or the fused Pallas kernel."""
+    if config.backend == "fused":
+        from gcmiipy_tpu.dynamics import fused
+        return fused.make_fused_step(
+            geom, config.dt, coriolis=config.coriolis,
+            dtype=jnp.dtype(config.dtype), filter_fn=filter_fn)
+    return lambda *s: core25d.matsuno_timestep(
+        *s, config.dt, geom, filter_fn=filter_fn, coriolis=config.coriolis)
+
+
+def full_timestep(state: ModelState, geom, config, filter_fn,
+                  dynamics_step=None) -> ModelState:
     """Dynamics step (+ optional physics) (reference no_limits_2_5d.py:79-104).
 
     The reference's physics step is dead code behind an early return
     (``no_limits_2_5d.py:94``); here it is enabled by ``config.physics``.
     """
+    if dynamics_step is None:
+        dynamics_step = make_dynamics_step(geom, config, filter_fn)
     prog, g, utc = state
     p, u, v, t, q = prog
-    p, u, v, t, q = core25d.matsuno_timestep(
-        p, u, v, t, q, config.dt, geom,
-        filter_fn=filter_fn, coriolis=config.coriolis)
+    p, u, v, t, q = dynamics_step(p, u, v, t, q)
     if config.physics:
         t, g = solar_timestep(t, p, g, config.dt, utc, geom, config)
     return ModelState(PrognosticVars(p, u, v, t, q), g, utc + config.dt)
@@ -90,9 +102,10 @@ def collect_stats(state: ModelState, geom) -> StepStats:
 def make_run_fn(geom, config, timesteps):
     """Build a jitted scan over ``timesteps`` Matsuno steps with donated state."""
     filter_fn = make_filter_fn(config, geom)
+    dynamics_step = make_dynamics_step(geom, config, filter_fn)
 
     def body(state, _):
-        state = full_timestep(state, geom, config, filter_fn)
+        state = full_timestep(state, geom, config, filter_fn, dynamics_step)
         stats = collect_stats(state, geom) if config.stats else None
         return state, stats
 
@@ -140,7 +153,9 @@ def run_model(height, width, layers, dt, timesteps, callback=None,
         state, stats = run(state)
     else:
         filter_fn = make_filter_fn(config, geom)
-        step = jax.jit(lambda s: full_timestep(s, geom, config, filter_fn))
+        dynamics_step = make_dynamics_step(geom, config, filter_fn)
+        step = jax.jit(lambda s: full_timestep(s, geom, config, filter_fn,
+                                               dynamics_step))
         stats_list = []
         for _ in range(timesteps):
             state = step(state)

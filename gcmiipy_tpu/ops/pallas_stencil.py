@@ -1,0 +1,352 @@
+"""Fused Pallas TPU kernel for the 2.5D half-step tendency computation.
+
+The XLA path executes ``half_timestep_parts`` as ~12 HBM passes (each roll
+materializes).  This kernel fuses the whole between-filters computation into
+ONE pass: inputs are wrap-padded by the halo width (2 — the maximum stencil
+reach of any chain in the half step), the grid tiles latitude rows, and each
+block carries full longitude rows plus halo so every stencil read stays in
+VMEM.  The body literally calls
+:func:`gcmiipy_tpu.dynamics.core25d.half_timestep_parts` on the block with a
+block-local :class:`Geom` — the Pallas and XLA paths share one numerical
+definition, so parity is structural.
+
+Block layout: 3D fields (L, TJ+2h, W+2h) via ``pl.Element`` row offsets
+(overlapping j-tiles), k and lon unblocked; outputs are plain (L, TJ, W)
+tiles.  VMEM per step ~ (11 in + 6 out) blocks; TJ is auto-chosen to fit.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Stencil reach of the half step is 2.  The halos are larger so the Mosaic
+# tiling constraints hold: sublane blocks (tile_j and tile_j + 2*HALO_J)
+# must be multiples of 8, lane blocks (tile_i and tile_i + 2*HALO_X)
+# multiples of 128.
+HALO_J = 4
+HALO_X = 64
+
+
+def wrap_pad(x, halo_j=HALO_J, halo_x=HALO_X):
+    """Periodic (wrap) padding of the trailing two axes."""
+    pad = [(0, 0)] * (x.ndim - 2) + [(halo_j, halo_j), (halo_x, halo_x)]
+    return jnp.pad(x, pad, mode="wrap")
+
+
+def make_fused_parts(geom, dt, coriolis=False, dtype=jnp.float32,
+                     tile_j=None, tile_i=None, interpret=False):
+    """Build ``fused(p,u,v,t,q, sp,su,sv,st,sq, spu) -> 6 outputs``.
+
+    All inputs are UNpadded (L,H,W)/(H,W) arrays; the wrapper pads, runs the
+    kernel over j-tiles, and returns (p_n, v_n, t_n, q_n, pu_partial,
+    pg_phi) exactly as :func:`core25d.half_timestep_parts` would.
+    """
+    from gcmiipy_tpu.dynamics import core25d
+
+    H, W, L = geom.height, geom.width, geom.layers
+    h, hx = HALO_J, HALO_X
+    Hp, Wp = H + 2 * h, W + 2 * hx
+    dtype = jnp.dtype(dtype)
+    if tile_j is None:
+        tile_j = 8
+    if tile_i is None:
+        tile_i = 128 if W % 128 == 0 else W
+    if H % tile_j:
+        raise ValueError(f"tile_j {tile_j} must divide height {H}")
+    if W % tile_i:
+        raise ValueError(f"tile_i {tile_i} must divide width {W}")
+    nj = H // tile_j
+    ni = W // tile_i
+
+    # static wrap-padded per-row geometry (host side, once)
+    def rowpad(a):
+        a = np.asarray(a, dtype).reshape(-1, 1)          # (H, 1)
+        return np.pad(a, ((h, h), (0, 0)), mode="wrap")  # (Hp, 1)
+
+    dxj_pad = rowpad(geom.dx_j)
+    dxh_pad = rowpad(geom.dx_h)
+    lat_pad = rowpad(geom.lat)
+    hm_pad = np.pad(np.asarray(geom.heightmap, dtype),
+                    ((h, h), (hx, hx)), mode="wrap")      # (Hp, Wp)
+
+    tj_in = tile_j + 2 * h
+    ti_in = tile_i + 2 * hx
+
+    def in3(j, i):
+        return (0, j * tile_j, i * tile_i)
+
+    def in2(j, i):
+        return (j * tile_j, i * tile_i)
+
+    # Mosaic requires all-or-none Element dims in a BlockSpec
+    spec3_in = pl.BlockSpec(
+        (pl.Element(L), pl.Element(tj_in), pl.Element(ti_in)), in3,
+        memory_space=pltpu.VMEM)
+    spec2_in = pl.BlockSpec(
+        (pl.Element(tj_in), pl.Element(ti_in)), in2,
+        memory_space=pltpu.VMEM)
+    spec_row = pl.BlockSpec(
+        (pl.Element(tj_in), pl.Element(1)),
+        lambda j, i: (j * tile_j, 0),
+        memory_space=pltpu.VMEM)
+    spec3_out = pl.BlockSpec((L, tile_j, tile_i), lambda j, i: (0, j, i),
+                             memory_space=pltpu.VMEM)
+    spec2_out = pl.BlockSpec((tile_j, tile_i), lambda j, i: (j, i),
+                             memory_space=pltpu.VMEM)
+    # replicated sigma-ladder blocks (Pallas kernels cannot capture array
+    # constants — they ride in as tiny VMEM inputs)
+    spec_k = pl.BlockSpec(
+        (pl.Element(L), pl.Element(1), pl.Element(1)),
+        lambda j, i: (0, 0, 0),
+        memory_space=pltpu.VMEM)
+
+    def kernel(p_ref, u_ref, v_ref, t_ref, q_ref,
+               sp_ref, su_ref, sv_ref, st_ref, sq_ref, spu_ref,
+               dxj_ref, dxh_ref, lat_ref, hm_ref,
+               sigt_ref, sigb_ref, sig_ref, dsig_ref,
+               pn_ref, vn_ref, tn_ref, qn_ref, pup_ref, pgphi_ref):
+        lgeom = dataclasses.replace(
+            geom,
+            dx_j=dxj_ref[:].reshape(1, tj_in, 1),
+            dx_h=dxh_ref[:].reshape(1, tj_in, 1),
+            lat=lat_ref[:],
+            heightmap=hm_ref[:],
+            sigt=sigt_ref[:], sigb=sigb_ref[:],
+            sig=sig_ref[:], dsig=dsig_ref[:],
+        )
+        outs = core25d.half_timestep_parts(
+            p_ref[:], u_ref[:], v_ref[:], t_ref[:], q_ref[:],
+            sp_ref[:], su_ref[:], sv_ref[:], st_ref[:], sq_ref[:],
+            spu_ref[:], dt, lgeom, coriolis=coriolis)
+        core = lambda x: x[..., h:-h, hx:-hx]
+        p_n, v_n, t_n, q_n, pu_partial, pg_phi = outs
+        pn_ref[:] = core(p_n)
+        vn_ref[:] = core(v_n)
+        tn_ref[:] = core(t_n)
+        qn_ref[:] = core(q_n)
+        pup_ref[:] = core(pu_partial)
+        pgphi_ref[:] = core(pg_phi)
+
+    shape3 = jax.ShapeDtypeStruct((L, H, W), dtype)
+    shape2 = jax.ShapeDtypeStruct((H, W), dtype)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nj, ni),
+        in_specs=[spec2_in] + [spec3_in] * 4          # p, u, v, t, q
+                 + [spec2_in] + [spec3_in] * 4        # sp, su, sv, st, sq
+                 + [spec3_in]                         # spu
+                 + [spec_row, spec_row, spec_row, spec2_in]
+                 + [spec_k] * 4,                      # sigt, sigb, sig, dsig
+        out_specs=(spec2_out, spec3_out, spec3_out, spec3_out,
+                   spec3_out, spec3_out),
+        out_shape=(shape2, shape3, shape3, shape3, shape3, shape3),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    dxj_c = jnp.asarray(dxj_pad)
+    dxh_c = jnp.asarray(dxh_pad)
+    lat_c = jnp.asarray(lat_pad)
+    hm_c = jnp.asarray(hm_pad)
+    sigt_c = jnp.asarray(geom.sigt, dtype)
+    sigb_c = jnp.asarray(geom.sigb, dtype)
+    sig_c = jnp.asarray(geom.sig, dtype)
+    dsig_c = jnp.asarray(geom.dsig, dtype)
+
+    def fused(p, u, v, t, q, sp, su, sv, st, sq, spu):
+        args = [wrap_pad(x.astype(dtype)) for x in
+                (p, u, v, t, q, sp, su, sv, st, sq, spu)]
+        return call(*args, dxj_c, dxh_c, lat_c, hm_c,
+                    sigt_c, sigb_c, sig_c, dsig_c)
+
+    return fused
+
+
+# ---------------------------------------------------------------------------
+# Padded-state pipeline: the state carries its halos across the whole scan,
+# so the per-half-step cost is two cheap strip refreshes instead of eleven
+# full wrap-pad passes.  Halo widths here are (8, 128): output Element
+# offsets must be divisible by the (8, 128) tiling, so the pad IS the
+# alignment.  Stencil reach is still only 2 — the extra halo is dead weight
+# traded for aligned in-place tile writes.
+# ---------------------------------------------------------------------------
+
+PHJ = 8    # padded-state lat halo
+PHX = 128  # padded-state lon halo
+
+
+def pad_state(x):
+    """Wrap-pad a core (..., H, W) field into padded-state layout."""
+    pad = [(0, 0)] * (x.ndim - 2) + [(PHJ, PHJ), (PHX, PHX)]
+    return jnp.pad(x, pad, mode="wrap")
+
+
+def core(x):
+    """View the core of a padded-state field."""
+    return x[..., PHJ:-PHJ, PHX:-PHX]
+
+
+def shifted_core(x, dj=0, di=0):
+    """Core shifted by (dj, di) — the padded-layout equivalent of roll."""
+    H = x.shape[-2] - 2 * PHJ
+    W = x.shape[-1] - 2 * PHX
+    return x[..., PHJ + dj:PHJ + dj + H, PHX + di:PHX + di + W]
+
+
+def refresh_halo(x):
+    """Refill the wrap halos of a padded-state field from its core.
+
+    Row strips first (core columns), then column strips over the full
+    height so the corners come out right.  Under jit with an unaliased
+    buffer these lower to in-place dynamic-update-slices.
+    """
+    H = x.shape[-2] - 2 * PHJ
+    W = x.shape[-1] - 2 * PHX
+    x = x.at[..., 0:PHJ, PHX:PHX + W].set(x[..., H:H + PHJ, PHX:PHX + W])
+    x = x.at[..., PHJ + H:, PHX:PHX + W].set(x[..., PHJ:2 * PHJ, PHX:PHX + W])
+    x = x.at[..., :, 0:PHX].set(x[..., :, W:W + PHX])
+    x = x.at[..., :, PHX + W:].set(x[..., :, PHX:2 * PHX])
+    return x
+
+
+def make_fused_parts_padded(geom, dt, coriolis=False, dtype=jnp.float32,
+                            tile_j=64, tile_i=None, interpret=False):
+    """Fused half-step kernel operating on padded-state arrays.
+
+    Inputs: 11 padded-state fields.  Outputs: p_n, v_n, t_n, q_n in
+    padded-state layout (halos stale — call :func:`refresh_halo`), plus
+    pu_partial and pg_phi as plain core arrays (they only feed the polar
+    filter and the final elementwise update).
+    """
+    from gcmiipy_tpu.dynamics import core25d
+
+    H, W, L = geom.height, geom.width, geom.layers
+    hj, hx = PHJ, PHX
+    Hp, Wp = H + 2 * hj, W + 2 * hx
+    dtype = jnp.dtype(dtype)
+    if tile_i is None:
+        tile_i = min(512, W) if W % 512 == 0 or W <= 512 else 256
+        if W % tile_i:
+            tile_i = W
+    while H % tile_j:
+        tile_j //= 2
+    if tile_j % 8 or (tile_i % 128 and tile_i != W):
+        raise ValueError(f"bad tiles ({tile_j},{tile_i}) for grid {H}x{W}")
+    nj, ni = H // tile_j, W // tile_i
+    tj_in, ti_in = tile_j + 2 * hj, tile_i + 2 * hx
+
+    def rowpad(a):
+        a = np.asarray(a, dtype).reshape(-1, 1)
+        return np.pad(a, ((hj, hj), (0, 0)), mode="wrap")
+
+    dxj_pad = rowpad(geom.dx_j)
+    dxh_pad = rowpad(geom.dx_h)
+    lat_pad = rowpad(geom.lat)
+    hm_pad = np.pad(np.asarray(geom.heightmap, dtype),
+                    ((hj, hj), (hx, hx)), mode="wrap")
+
+    def in3(j, i):
+        return (0, j * tile_j, i * tile_i)
+
+    def in2(j, i):
+        return (j * tile_j, i * tile_i)
+
+    spec3_in = pl.BlockSpec(
+        (pl.Element(L), pl.Element(tj_in), pl.Element(ti_in)), in3,
+        memory_space=pltpu.VMEM)
+    spec2_in = pl.BlockSpec(
+        (pl.Element(tj_in), pl.Element(ti_in)), in2,
+        memory_space=pltpu.VMEM)
+    spec_row = pl.BlockSpec(
+        (pl.Element(tj_in), pl.Element(1)), lambda j, i: (j * tile_j, 0),
+        memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec(
+        (pl.Element(L), pl.Element(1), pl.Element(1)), lambda j, i: (0, 0, 0),
+        memory_space=pltpu.VMEM)
+    # padded outputs: tile writes at (hj + j*tj, hx + i*ti) — aligned; the
+    # multiple_of hints let Mosaic's divisibility prover accept the offsets
+    spec3_out_pad = pl.BlockSpec(
+        (pl.Element(L), pl.Element(tile_j), pl.Element(tile_i)),
+        lambda j, i: (0, pl.multiple_of(hj + j * tile_j, 8),
+                      pl.multiple_of(hx + i * tile_i, 128)),
+        memory_space=pltpu.VMEM)
+    spec2_out_pad = pl.BlockSpec(
+        (pl.Element(tile_j), pl.Element(tile_i)),
+        lambda j, i: (pl.multiple_of(hj + j * tile_j, 8),
+                      pl.multiple_of(hx + i * tile_i, 128)),
+        memory_space=pltpu.VMEM)
+    # plain core outputs
+    spec3_out = pl.BlockSpec((L, tile_j, tile_i), lambda j, i: (0, j, i),
+                             memory_space=pltpu.VMEM)
+
+    def kernel(p_ref, u_ref, v_ref, t_ref, q_ref,
+               sp_ref, su_ref, sv_ref, st_ref, sq_ref, spu_ref,
+               dxj_ref, dxh_ref, lat_ref, hm_ref,
+               sigt_ref, sigb_ref, sig_ref, dsig_ref,
+               pn_ref, vn_ref, tn_ref, qn_ref, pup_ref, pgphi_ref):
+        lgeom = dataclasses.replace(
+            geom,
+            dx_j=dxj_ref[:].reshape(1, tj_in, 1),
+            dx_h=dxh_ref[:].reshape(1, tj_in, 1),
+            lat=lat_ref[:],
+            heightmap=hm_ref[:],
+            sigt=sigt_ref[:], sigb=sigb_ref[:],
+            sig=sig_ref[:], dsig=dsig_ref[:],
+        )
+        outs = core25d.half_timestep_parts(
+            p_ref[:], u_ref[:], v_ref[:], t_ref[:], q_ref[:],
+            sp_ref[:], su_ref[:], sv_ref[:], st_ref[:], sq_ref[:],
+            spu_ref[:], dt, lgeom, coriolis=coriolis)
+        ctr = lambda x: x[..., hj:-hj, hx:-hx]
+        p_n, v_n, t_n, q_n, pu_partial, pg_phi = outs
+        pn_ref[:] = ctr(p_n)
+        vn_ref[:] = ctr(v_n)
+        tn_ref[:] = ctr(t_n)
+        qn_ref[:] = ctr(q_n)
+        pup_ref[:] = ctr(pu_partial)
+        pgphi_ref[:] = ctr(pg_phi)
+
+    shape3_pad = jax.ShapeDtypeStruct((L, Hp, Wp), dtype)
+    shape2_pad = jax.ShapeDtypeStruct((Hp, Wp), dtype)
+    shape3 = jax.ShapeDtypeStruct((L, H, W), dtype)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nj, ni),
+        in_specs=[spec2_in] + [spec3_in] * 4
+                 + [spec2_in] + [spec3_in] * 4
+                 + [spec3_in]
+                 + [spec_row, spec_row, spec_row, spec2_in]
+                 + [spec_k] * 4,
+        out_specs=(spec2_out_pad, spec3_out_pad, spec3_out_pad,
+                   spec3_out_pad, spec3_out, spec3_out),
+        out_shape=(shape2_pad, shape3_pad, shape3_pad, shape3_pad,
+                   shape3, shape3),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    dxj_c = jnp.asarray(dxj_pad)
+    dxh_c = jnp.asarray(dxh_pad)
+    lat_c = jnp.asarray(lat_pad)
+    hm_c = jnp.asarray(hm_pad)
+    sigt_c = jnp.asarray(geom.sigt, dtype)
+    sigb_c = jnp.asarray(geom.sigb, dtype)
+    sig_c = jnp.asarray(geom.sig, dtype)
+    dsig_c = jnp.asarray(geom.dsig, dtype)
+
+    def fused_padded(p, u, v, t, q, sp, su, sv, st, sq, spu):
+        """All arguments in padded-state layout with valid halos."""
+        return call(p, u, v, t, q, sp, su, sv, st, sq, spu,
+                    dxj_c, dxh_c, lat_c, hm_c,
+                    sigt_c, sigb_c, sig_c, dsig_c)
+
+    return fused_padded

@@ -45,6 +45,14 @@ co2_sw_weight = co2_weight
 # (grey_solar.py:82): a plain 0.01 m^2/kg.
 ozone_weight = 0.01
 
+# Four-band longwave absorptivities per dp = 1e5 Pa, from MITgcm/aim — noted
+# by the reference for a future multi-band scheme (no_limits_2_5d.py:241-248;
+# water-vapor terms per dq = 1 g/kg).
+ABLWIN = 0.7   # window band
+ABLCO2 = 4.0   # CO2 band
+ABLWV1 = 0.7   # weak water-vapor band
+ABLWV2 = 50.0  # strong water-vapor band
+
 
 def daily_average_irradiance(lat, declination):
     """Manabe 1964 daily-mean insolation (reference grey_solar.py:32-36).

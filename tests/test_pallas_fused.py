@@ -1,0 +1,78 @@
+"""Fused Pallas kernel parity (interpret mode on CPU).
+
+The compiled-kernel path is exercised on real TPU hardware by bench.py and
+the verify drives; here the kernel's block/halo machinery runs in interpret
+mode and must reproduce the XLA core to float64 roundoff.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcmiipy_tpu.dynamics import core25d, fused
+from gcmiipy_tpu.grid import geometry
+
+
+def _initial(geom, seed=0):
+    rng = np.random.default_rng(seed)
+    L, H, W = geom.layers, geom.height, geom.width
+    p = jnp.asarray(1e5 * (1 + 1e-3 * rng.standard_normal((H, W))))
+    u = jnp.asarray(0.5 * rng.standard_normal((L, H, W)))
+    v = jnp.asarray(0.5 * rng.standard_normal((L, H, W)))
+    from gcmiipy_tpu import constants
+    tp = np.asarray(p)[None] * np.asarray(geom.sig) + float(geom.ptop)
+    t = jnp.asarray((300 + 5 * rng.standard_normal((L, H, W)))
+                    * (constants.P0 / tp) ** constants.kappa)
+    q = jnp.asarray(1e-5 * (1 + 0.1 * rng.random((L, H, W))))
+    return p, u, v, t, q
+
+
+def test_fused_matches_core_f64():
+    geom = geometry.gen_geometry(16, 128, 3, sig_func=geometry.manabe_sig)
+    state_f = _initial(geom)
+    state_r = state_f
+    step_f = fused.make_fused_matsuno(geom, 300.0, dtype=jnp.float64,
+                                      interpret=True)
+    for _ in range(2):
+        state_f = step_f(*state_f)
+        state_r = core25d.matsuno_timestep(*state_r, 300.0, geom)
+    for name, a, b in zip("puvtq", state_r, state_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-11, atol=1e-11,
+                                   err_msg=f"field {name}")
+
+
+def test_fused_with_coriolis_and_topography():
+    from gcmiipy_tpu.grid import topography
+    hm = np.zeros((16, 128))
+    hm[4:8, 10:40] = 1500.0
+    geom = geometry.gen_geometry(16, 128, 3, sig_func=geometry.manabe_sig,
+                                 heightmap=hm)
+    state_f = _initial(geom, seed=2)
+    state_r = state_f
+    step_f = fused.make_fused_matsuno(geom, 300.0, dtype=jnp.float64,
+                                      coriolis=True, interpret=True)
+    state_f = step_f(*state_f)
+    state_r = core25d.matsuno_timestep(*state_r, 300.0, geom, coriolis=True)
+    for a, b in zip(state_r, state_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-11, atol=1e-11)
+
+
+def test_fused_polar_bc_applied():
+    geom = geometry.gen_geometry(16, 128, 2)
+    p, u, v, t, q = _initial(geom, seed=3)
+    step_f = fused.make_fused_matsuno(geom, 100.0, dtype=jnp.float64,
+                                      interpret=True)
+    _, _, v_n, _, _ = step_f(p, u, v, t, q)
+    np.testing.assert_allclose(np.asarray(v_n)[:, -1, :], 0.0, atol=1e-14)
+
+
+def test_wrap_pad_is_periodic():
+    from gcmiipy_tpu.ops.pallas_stencil import HALO_J, HALO_X, wrap_pad
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((3, 8, 256)))
+    p = np.asarray(wrap_pad(x))
+    np.testing.assert_array_equal(p[:, :HALO_J, HALO_X:-HALO_X],
+                                  np.asarray(x)[:, -HALO_J:, :])
+    np.testing.assert_array_equal(p[:, HALO_J:-HALO_J, :HALO_X],
+                                  np.asarray(x)[:, :, -HALO_X:])
