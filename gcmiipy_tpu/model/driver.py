@@ -40,10 +40,20 @@ class StepStats(NamedTuple):
 
 
 def make_filter_fn(config, geom):
-    """Select the polar-filter implementation (SURVEY.md section 5.7)."""
+    """Select the polar-filter implementation (SURVEY.md section 5.7).
+
+    'fft' (default): exact, XLA FFT.  'matmul': exact per-row circulant —
+    O(J*I^2) memory, for small grids / sharded runs.  'dft': shared-matrix
+    real-DFT matmuls on the MXU — ~15% faster steps at ~1e-4 relative
+    filter error (see polar_filter.arakawa_1977_dft).
+    """
     if config.polar_filter == "matmul":
         F = polar_filter.build_filter_matrices(geom, dtype=np.dtype(config.dtype))
         return lambda q, geom: polar_filter.arakawa_1977_matmul(q, F)
+    if config.polar_filter == "dft":
+        mats = polar_filter.build_dft_matrices(geom.width,
+                                               dtype=np.dtype(config.dtype))
+        return lambda q, geom: polar_filter.arakawa_1977_dft(q, geom, mats)
     return polar_filter.arakawa_1977
 
 

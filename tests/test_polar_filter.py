@@ -95,3 +95,24 @@ def test_avrx_hard_cutoff():
     out = polar_filter.avrx(q, geom)
     assert out.shape == q.shape
     np.testing.assert_allclose(out.mean(axis=-1), q.mean(axis=-1), atol=1e-12)
+
+
+def test_dft_matches_fft():
+    # shared-matrix real-DFT factorization is exact in f64
+    geom = _geom(h=8, w=16)
+    mats = polar_filter.build_dft_matrices(16, np.float64)
+    rng = np.random.default_rng(7)
+    for shape in [(8, 16), (3, 8, 16)]:
+        q = jnp.asarray(rng.standard_normal(shape))
+        a = polar_filter.arakawa_1977(q, geom)
+        b = polar_filter.arakawa_1977_dft(q, geom, mats)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-12)
+
+
+def test_dft_odd_width():
+    geom = _geom(h=4, w=9)
+    mats = polar_filter.build_dft_matrices(9, np.float64)
+    q = jnp.asarray(np.random.default_rng(8).standard_normal((4, 9)))
+    a = polar_filter.arakawa_1977(q, geom)
+    b = polar_filter.arakawa_1977_dft(q, geom, mats)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-12)
