@@ -55,12 +55,25 @@ def tpu_throughput(height, width, layers, steps, dtype="float32",
     dt = 30.0  # small dt: stability irrelevant for throughput, avoids NaN traps
 
     state = (p, u, v, t, q)
-    if backend == "fused":
+    if backend == "fused3":
+        # mega-kernel: polar filter lives inside the kernel (DFT matmuls)
+        from gcmiipy_tpu.dynamics import fused
+        from gcmiipy_tpu.ops import pallas_stencil as ps
+        step_padded = fused.make_fused_matsuno_padded_v3(
+            geom, dt, dtype=dtype,
+            filter_precision="default" if polar_filter == "dft_bf16"
+            else "high")
+        state = tuple(ps.pad_state(x) for x in state)
+
+        def body(carry, _):
+            return step_padded(*carry), None
+    elif backend in ("fused", "fused2"):
         # carry the padded state through the scan: no per-step pad passes
         from gcmiipy_tpu.dynamics import fused
         from gcmiipy_tpu.ops import pallas_stencil as ps
-        step_padded = fused.make_fused_matsuno_padded(
-            geom, dt, dtype=dtype, filter_fn=filter_fn)
+        make = (fused.make_fused_matsuno_padded_v2 if backend == "fused2"
+                else fused.make_fused_matsuno_padded)
+        step_padded = make(geom, dt, dtype=dtype, filter_fn=filter_fn)
         state = tuple(ps.pad_state(x) for x in state)
 
         def body(carry, _):
@@ -122,12 +135,15 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--baseline-height", type=int, default=128)
     ap.add_argument("--baseline-width", type=int, default=256)
-    ap.add_argument("--backend", default="fused", choices=["fused", "xla"])
+    ap.add_argument("--backend", default="fused",
+                    choices=["fused", "fused2", "fused3", "xla"])
+    ap.add_argument("--filter", default="fft",
+                    choices=["fft", "dft", "dft_bf16", "matmul"])
     args = ap.parse_args()
 
     tpu_pps, sec_per_step = tpu_throughput(
         args.height, args.width, args.layers, args.steps,
-        backend=args.backend)
+        polar_filter=args.filter, backend=args.backend)
     print(f"# tpu: {tpu_pps:.3e} points/s ({sec_per_step*1e3:.2f} ms/step "
           f"at {args.layers}x{args.height}x{args.width})", file=sys.stderr)
 

@@ -262,6 +262,84 @@ def half_timestep_parts(p, u, v, t, q, sp, su, sv, st, sq, spu, dt, geom,
     return p_n, v_n, t_n, q_n, pu_partial, pgu + phiu
 
 
+def pgf_forces(sp, su, st, geom):
+    """The two filter-bound quantities of a half step, plus the meridional
+    force term.
+
+    Both polar-filter inputs of the reference half step — the zonal mass
+    flux (``dynamics.py:189``) and the zonal PGF+geopotential force
+    (``dynamics.py:202``) — depend only on the *evaluated* state
+    ``(sp, su, st)``, never on each other or on the rest of the tendency
+    assembly.  Hoisting them up front lets one batched filter call serve
+    the whole half step (see :func:`half_timestep_v2`).
+
+    Returns ``(spu_raw, pg_phi, pg_phiv)``: unfiltered zonal mass flux,
+    ``pgu + phiu`` (awaiting the filter), and ``pgv + phiv`` (used as-is).
+    """
+    pgu, pgv, phiu, phiv = pgf(sp, st, geom)
+    return calc_pu(sp, su), pgu + phiu, pgv + phiv
+
+
+def half_timestep_rest(p, u, v, t, q, sp, su, sv, st, sq, spu, dt, geom,
+                       coriolis=False):
+    """Half-step tendency assembly minus the PGF terms (which
+    :func:`pgf_forces` provides).
+
+    ``spu`` is the already-filtered zonal mass flux.  Returns
+    ``(p_n, pu_partial, pv_partial, t_n, q_n)`` where the momentum fluxes
+    still lack the force terms: the caller finishes with
+    ``u_n = (pu_partial - pgfu*dt) / iph(p_n)`` and
+    ``v_n = (pv_partial - pg_phiv*dt) / jph(p_n)``.  Same expressions as
+    :func:`half_timestep_parts` up to float-add reassociation of the
+    pv force sum (documented rounding-level deviation).
+    """
+    pu = calc_pu(p, u)
+    pv = calc_pv(p, v)
+    spv = calc_pv(sp, sv)
+
+    pit, sd = aflux(spu, spv, geom)
+    p_n = p - pit * dt
+
+    dut, dvt = advec_m_pu(sp, su, sv, spu, spv, geom, coriolis=coriolis)
+    dus = advec_sig(iph(sd), su, geom)
+    dvs = advec_sig(jph(sd), sv, geom)
+
+    pu_partial = pu - (dut + dus) * dt
+    pv_partial = pv - (dvt + dvs) * dt
+
+    t_n = (t * p - (advec_t(spu, spv, st, geom) + advec_sig(sd, st, geom)) * dt) / p_n
+    q_n = (q * p - (advec_t(spu, spv, sq, geom) + advec_sig(sd, sq, geom)) * dt) / p_n
+
+    return p_n, pu_partial, pv_partial, t_n, q_n
+
+
+def half_timestep_v2(p, u, v, t, q, sp, su, sv, st, sq, dt, geom,
+                     filter_fn=None, coriolis=False):
+    """Half step with ONE batched polar-filter call (pgf-first pipeline).
+
+    Numerically the same half step as :func:`half_timestep` (reference
+    dynamics.py:183-227) — the two filter inputs are independent of the
+    rest of the assembly, so they stack into a single (2L, H, W) filter
+    application.  This is the XLA twin of the fused v2 Pallas pipeline
+    (:func:`gcmiipy_tpu.dynamics.fused.make_fused_matsuno_padded_v2`).
+    """
+    if filter_fn is None:
+        filter_fn = polar_filter.arakawa_1977
+
+    L = u.shape[0]
+    spu_raw, pg_phi, pg_phiv = pgf_forces(sp, su, st, geom)
+    filt = filter_fn(jnp.concatenate([spu_raw, pg_phi], axis=0), geom)
+    spu, pgfu = filt[:L], filt[L:]
+
+    p_n, pu_partial, pv_partial, t_n, q_n = half_timestep_rest(
+        p, u, v, t, q, sp, su, sv, st, sq, spu, dt, geom, coriolis=coriolis)
+
+    u_n = (pu_partial - pgfu * dt) / iph(p_n)
+    v_n = (pv_partial - pg_phiv * dt) / jph(p_n)
+    v_n = v_n.at[:, -1, :].set(0.0)  # polar wall (dynamics.py:222)
+    return p_n, u_n, v_n, t_n, q_n
+
+
 def half_timestep(p, u, v, t, q, sp, su, sv, st, sq, dt, geom,
                   filter_fn=None, coriolis=False):
     """One forward(-backward) half step of the Matsuno scheme

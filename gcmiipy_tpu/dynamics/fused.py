@@ -95,6 +95,81 @@ def make_fused_matsuno_padded(geom, dt, coriolis=False, dtype=jnp.float32,
     return step
 
 
+def make_fused_matsuno_padded_v2(geom, dt, coriolis=False, dtype=jnp.float32,
+                                 filter_fn=None, tile_j=32, tile_i=None,
+                                 interpret=False):
+    """Matsuno step over padded-state arrays, single-filter pipeline.
+
+    Per half step:  pgf kernel -> ONE batched polar-filter call on the
+    stacked [spu; pg_phi] -> rest kernel (which also absorbs the final
+    momentum updates).  Halves the filter launches of
+    :func:`make_fused_matsuno_padded` and removes the XLA epilogue passes;
+    numerics match :func:`core25d.half_timestep_v2` (same half step as the
+    reference up to float-add reassociation of the pv force sum).
+    """
+    from gcmiipy_tpu.ops.pallas_stencil import (
+        PHJ, pad_state, refresh_halo, make_pgf_kernel_padded,
+        make_rest_kernel_padded)
+
+    if filter_fn is None:
+        filter_fn = polar_filter.arakawa_1977
+    pgfk = make_pgf_kernel_padded(geom, dtype=dtype, tile_j=tile_j,
+                                  tile_i=tile_i, interpret=interpret)
+    restk = make_rest_kernel_padded(geom, dt, coriolis=coriolis, dtype=dtype,
+                                    tile_j=tile_j, tile_i=tile_i,
+                                    interpret=interpret)
+    H, L = geom.height, geom.layers
+
+    def half(base_pad, seval_pad):
+        sp_p, su_p, st_p = seval_pad[0], seval_pad[1], seval_pad[3]
+        stack, pg_phiv = pgfk(sp_p, su_p, st_p)
+        filt = filter_fn(stack, geom)
+        spu_pad = pad_state(filt[:L])
+        pn, un, vn, tn, qn = restk(*base_pad, *seval_pad,
+                                   spu_pad, filt, pg_phiv)
+        vn = vn.at[:, PHJ + H - 1, :].set(0.0)  # polar wall (dynamics.py:222)
+        return tuple(refresh_halo(x) for x in (pn, un, vn, tn, qn))
+
+    def step(p_pad, u_pad, v_pad, t_pad, q_pad):
+        base = (p_pad, u_pad, v_pad, t_pad, q_pad)
+        starred = half(base, base)
+        return half(base, starred)
+
+    return step
+
+
+def make_fused_matsuno_padded_v3(geom, dt, coriolis=False, dtype=jnp.float32,
+                                 tile_j=32, filter_precision="high",
+                                 interpret=False):
+    """Matsuno step over padded-state arrays, mega-kernel pipeline.
+
+    ONE Pallas call per half step: pgf + polar filter (in-VMEM real-DFT
+    matmuls, MXU) + tendency assembly + momentum epilogue.  No intermediate
+    touches HBM.  The filter is the same damping mask as the rFFT path;
+    with ``filter_precision="high"`` the transform carries ~1e-4 relative
+    error on TPU (bf16 3-pass matmuls), "default" ~2% (single-pass).
+    """
+    from gcmiipy_tpu.ops.pallas_stencil import (
+        PHJ, make_mega_kernel_padded, refresh_halo)
+
+    half_kernel = make_mega_kernel_padded(
+        geom, dt, coriolis=coriolis, dtype=dtype, tile_j=tile_j,
+        filter_precision=filter_precision, interpret=interpret)
+    H = geom.height
+
+    def half(base_pad, seval_pad):
+        pn, un, vn, tn, qn = half_kernel(base_pad, seval_pad)
+        vn = vn.at[:, PHJ + H - 1, :].set(0.0)  # polar wall (dynamics.py:222)
+        return tuple(refresh_halo(x) for x in (pn, un, vn, tn, qn))
+
+    def step(p_pad, u_pad, v_pad, t_pad, q_pad):
+        base = (p_pad, u_pad, v_pad, t_pad, q_pad)
+        starred = half(base, base)
+        return half(base, starred)
+
+    return step
+
+
 def fused_grid_supported(geom):
     """The padded-output kernel needs lat tiles of 8 and lon tiles of 128
     (Mosaic tiling divisibility for aligned in-place writes)."""

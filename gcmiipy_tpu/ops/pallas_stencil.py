@@ -350,3 +350,399 @@ def make_fused_parts_padded(geom, dt, coriolis=False, dtype=jnp.float32,
                     sigt_c, sigb_c, sig_c, dsig_c)
 
     return fused_padded
+
+
+# ---------------------------------------------------------------------------
+# v2 pipeline kernels: pgf-first + single batched polar filter.
+#
+# Both polar-filter inputs of a half step depend only on the evaluated state
+# (core25d.pgf_forces), so the half step splits as
+#     pgf kernel -> ONE batched filter -> rest kernel
+# instead of  filter -> whole kernel -> filter -> XLA epilogue.
+# The rest kernel also absorbs the epilogue (pu_n, u_n = pu_n/iph(p_n)),
+# returning all five prognostic fields in padded layout.
+# ---------------------------------------------------------------------------
+
+
+def _padded_tiles(geom, tile_j, tile_i):
+    H, W = geom.height, geom.width
+    if tile_i is None:
+        tile_i = min(512, W) if W % 512 == 0 or W <= 512 else 256
+        if W % tile_i:
+            tile_i = W
+    while H % tile_j:
+        tile_j //= 2
+    if tile_j % 8 or (tile_i % 128 and tile_i != W):
+        raise ValueError(f"bad tiles ({tile_j},{tile_i}) for grid {H}x{W}")
+    return tile_j, tile_i
+
+
+def _geom_row_consts(geom, dtype, hj, hx):
+    def rowpad(a):
+        a = np.asarray(a, dtype).reshape(-1, 1)
+        return np.pad(a, ((hj, hj), (0, 0)), mode="wrap")
+
+    return (jnp.asarray(rowpad(geom.dx_j)), jnp.asarray(rowpad(geom.dx_h)),
+            jnp.asarray(rowpad(geom.lat)),
+            jnp.asarray(np.pad(np.asarray(geom.heightmap, dtype),
+                               ((hj, hj), (hx, hx)), mode="wrap")),
+            jnp.asarray(geom.sigt, dtype), jnp.asarray(geom.sigb, dtype),
+            jnp.asarray(geom.sig, dtype), jnp.asarray(geom.dsig, dtype))
+
+
+def make_pgf_kernel_padded(geom, dtype=jnp.float32, tile_j=32, tile_i=None,
+                           interpret=False):
+    """Front kernel of the v2 pipeline: padded (sp, su, st) ->
+    (stacked [spu_raw; pg_phi] of shape (2L, H, W), pg_phiv of (L, H, W)),
+    both in plain core layout (they feed the batched polar filter and the
+    rest kernel's elementwise epilogue — no halo needed)."""
+    from gcmiipy_tpu.dynamics import core25d
+
+    H, W, L = geom.height, geom.width, geom.layers
+    hj, hx = PHJ, PHX
+    dtype = jnp.dtype(dtype)
+    tile_j, tile_i = _padded_tiles(geom, tile_j, tile_i)
+    nj, ni = H // tile_j, W // tile_i
+    tj_in, ti_in = tile_j + 2 * hj, tile_i + 2 * hx
+
+    spec3_in = pl.BlockSpec(
+        (pl.Element(L), pl.Element(tj_in), pl.Element(ti_in)),
+        lambda j, i: (0, j * tile_j, i * tile_i), memory_space=pltpu.VMEM)
+    spec2_in = pl.BlockSpec(
+        (pl.Element(tj_in), pl.Element(ti_in)),
+        lambda j, i: (j * tile_j, i * tile_i), memory_space=pltpu.VMEM)
+    spec_row = pl.BlockSpec(
+        (pl.Element(tj_in), pl.Element(1)), lambda j, i: (j * tile_j, 0),
+        memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec(
+        (pl.Element(L), pl.Element(1), pl.Element(1)), lambda j, i: (0, 0, 0),
+        memory_space=pltpu.VMEM)
+    spec_stack_out = pl.BlockSpec((2 * L, tile_j, tile_i),
+                                  lambda j, i: (0, j, i),
+                                  memory_space=pltpu.VMEM)
+    spec3_out = pl.BlockSpec((L, tile_j, tile_i), lambda j, i: (0, j, i),
+                             memory_space=pltpu.VMEM)
+
+    def kernel(sp_ref, su_ref, st_ref, dxj_ref, hm_ref,
+               sigt_ref, sigb_ref, sig_ref, dsig_ref,
+               stack_ref, pgphiv_ref):
+        lgeom = dataclasses.replace(
+            geom,
+            dx_j=dxj_ref[:].reshape(1, tj_in, 1),
+            heightmap=hm_ref[:],
+            sigt=sigt_ref[:], sigb=sigb_ref[:],
+            sig=sig_ref[:], dsig=dsig_ref[:],
+        )
+        spu_raw, pg_phi, pg_phiv = core25d.pgf_forces(
+            sp_ref[:], su_ref[:], st_ref[:], lgeom)
+        ctr = lambda x: x[..., hj:-hj, hx:-hx]
+        stack_ref[:] = jnp.concatenate([ctr(spu_raw), ctr(pg_phi)], axis=0)
+        pgphiv_ref[:] = ctr(pg_phiv)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nj, ni),
+        in_specs=[spec2_in, spec3_in, spec3_in,
+                  spec_row, spec2_in] + [spec_k] * 4,
+        out_specs=(spec_stack_out, spec3_out),
+        out_shape=(jax.ShapeDtypeStruct((2 * L, H, W), dtype),
+                   jax.ShapeDtypeStruct((L, H, W), dtype)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    dxj_c, _, _, hm_c, sigt_c, sigb_c, sig_c, dsig_c = _geom_row_consts(
+        geom, dtype, hj, hx)
+
+    def pgf_padded(sp, su, st):
+        return call(sp, su, st, dxj_c, hm_c, sigt_c, sigb_c, sig_c, dsig_c)
+
+    return pgf_padded
+
+
+def make_rest_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
+                            tile_j=32, tile_i=None, interpret=False):
+    """Back kernel of the v2 pipeline: everything downstream of the filter.
+
+    Inputs: 10 padded-state fields, the filtered stack [spu; pgfu] — spu
+    re-padded to (L, Hp, Wp) (stencil reach 2), pgfu read straight from the
+    second half of the stacked filter output (block index L..2L, core
+    layout, elementwise use only) — and pg_phiv (core).  Outputs all five
+    prognostic fields in padded layout with stale halos.
+    """
+    from gcmiipy_tpu.dynamics import core25d
+    from gcmiipy_tpu.ops import stencil
+
+    H, W, L = geom.height, geom.width, geom.layers
+    hj, hx = PHJ, PHX
+    Hp, Wp = H + 2 * hj, W + 2 * hx
+    dtype = jnp.dtype(dtype)
+    tile_j, tile_i = _padded_tiles(geom, tile_j, tile_i)
+    nj, ni = H // tile_j, W // tile_i
+    tj_in, ti_in = tile_j + 2 * hj, tile_i + 2 * hx
+
+    spec3_in = pl.BlockSpec(
+        (pl.Element(L), pl.Element(tj_in), pl.Element(ti_in)),
+        lambda j, i: (0, j * tile_j, i * tile_i), memory_space=pltpu.VMEM)
+    spec2_in = pl.BlockSpec(
+        (pl.Element(tj_in), pl.Element(ti_in)),
+        lambda j, i: (j * tile_j, i * tile_i), memory_space=pltpu.VMEM)
+    spec_row = pl.BlockSpec(
+        (pl.Element(tj_in), pl.Element(1)), lambda j, i: (j * tile_j, 0),
+        memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec(
+        (pl.Element(L), pl.Element(1), pl.Element(1)), lambda j, i: (0, 0, 0),
+        memory_space=pltpu.VMEM)
+    # pgfu rides in as the [L:2L] block rows of the (2L, H, W) filtered stack
+    spec_pgfu = pl.BlockSpec((L, tile_j, tile_i), lambda j, i: (1, j, i),
+                             memory_space=pltpu.VMEM)
+    spec3_core = pl.BlockSpec((L, tile_j, tile_i), lambda j, i: (0, j, i),
+                              memory_space=pltpu.VMEM)
+    spec3_out_pad = pl.BlockSpec(
+        (pl.Element(L), pl.Element(tile_j), pl.Element(tile_i)),
+        lambda j, i: (0, pl.multiple_of(hj + j * tile_j, 8),
+                      pl.multiple_of(hx + i * tile_i, 128)),
+        memory_space=pltpu.VMEM)
+    spec2_out_pad = pl.BlockSpec(
+        (pl.Element(tile_j), pl.Element(tile_i)),
+        lambda j, i: (pl.multiple_of(hj + j * tile_j, 8),
+                      pl.multiple_of(hx + i * tile_i, 128)),
+        memory_space=pltpu.VMEM)
+
+    def kernel(p_ref, u_ref, v_ref, t_ref, q_ref,
+               sp_ref, su_ref, sv_ref, st_ref, sq_ref,
+               spu_ref, pgfu_ref, pgphiv_ref,
+               dxj_ref, dxh_ref, lat_ref,
+               sigt_ref, sigb_ref, sig_ref, dsig_ref,
+               pn_ref, un_ref, vn_ref, tn_ref, qn_ref):
+        lgeom = dataclasses.replace(
+            geom,
+            dx_j=dxj_ref[:].reshape(1, tj_in, 1),
+            dx_h=dxh_ref[:].reshape(1, tj_in, 1),
+            lat=lat_ref[:],
+            sigt=sigt_ref[:], sigb=sigb_ref[:],
+            sig=sig_ref[:], dsig=dsig_ref[:],
+        )
+        p_n, pu_partial, pv_partial, t_n, q_n = core25d.half_timestep_rest(
+            p_ref[:], u_ref[:], v_ref[:], t_ref[:], q_ref[:],
+            sp_ref[:], su_ref[:], sv_ref[:], st_ref[:], sq_ref[:],
+            spu_ref[:], dt, lgeom, coriolis=coriolis)
+        ctr = lambda x: x[..., hj:-hj, hx:-hx]
+        iph_pn = ctr(stencil.iph(p_n))
+        jph_pn = ctr(stencil.jph(p_n))
+        pn_ref[:] = ctr(p_n)
+        un_ref[:] = (ctr(pu_partial) - pgfu_ref[:] * dt) / iph_pn
+        vn_ref[:] = (ctr(pv_partial) - pgphiv_ref[:] * dt) / jph_pn
+        tn_ref[:] = ctr(t_n)
+        qn_ref[:] = ctr(q_n)
+
+    shape3_pad = jax.ShapeDtypeStruct((L, Hp, Wp), dtype)
+    shape2_pad = jax.ShapeDtypeStruct((Hp, Wp), dtype)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nj, ni),
+        in_specs=[spec2_in] + [spec3_in] * 4
+                 + [spec2_in] + [spec3_in] * 4
+                 + [spec3_in, spec_pgfu, spec3_core]
+                 + [spec_row, spec_row, spec_row]
+                 + [spec_k] * 4,
+        out_specs=(spec2_out_pad, spec3_out_pad, spec3_out_pad,
+                   spec3_out_pad, spec3_out_pad),
+        out_shape=(shape2_pad, shape3_pad, shape3_pad, shape3_pad,
+                   shape3_pad),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    dxj_c, dxh_c, lat_c, _, sigt_c, sigb_c, sig_c, dsig_c = _geom_row_consts(
+        geom, dtype, hj, hx)
+
+    def rest_padded(p, u, v, t, q, sp, su, sv, st, sq,
+                    spu_pad, filt_stack, pg_phiv):
+        """spu_pad: (L,Hp,Wp) padded filtered mass flux; filt_stack: the
+        (2L,H,W) filter output (pgfu = rows L..2L); pg_phiv: (L,H,W)."""
+        return call(p, u, v, t, q, sp, su, sv, st, sq,
+                    spu_pad, filt_stack, pg_phiv,
+                    dxj_c, dxh_c, lat_c, sigt_c, sigb_c, sig_c, dsig_c)
+
+    return rest_padded
+
+
+# ---------------------------------------------------------------------------
+# v3: the mega-kernel.  ONE pallas_call per half step — pgf, the polar
+# filter (real-DFT matmuls on the MXU, mask applied in VMEM), the tendency
+# assembly, and the momentum epilogue all fused.  No intermediate ever
+# touches HBM: measured on v5e, the v2 three-op pipeline loses its batched-
+# filter win to the stacked-intermediate HBM round trips; this kernel
+# removes them entirely.  Blocks tile latitude only and carry full padded
+# longitude rows, which is exactly what the zonal DFT needs.
+# ---------------------------------------------------------------------------
+
+
+def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
+                            tile_j=32, filter_precision="high",
+                            interpret=False):
+    """Whole half step as one kernel over padded-state fields.
+
+    ``filter_precision``: "high" = 3-pass bf16 matmuls (~f32 accurate,
+    ~1e-4 relative filter error vs the exact rFFT path), "default" =
+    single-pass bf16 (~2% filter error, research mode).  On CPU/interpret
+    (f64) the DFT is exact to roundoff.
+
+    Returns ``half(base_pad_5tuple, seval_pad_5tuple) -> 5 padded outputs``
+    with stale halos (caller applies the polar wall + refresh_halo).
+    """
+    from gcmiipy_tpu.dynamics import core25d
+    from gcmiipy_tpu.ops import polar_filter, stencil
+
+    H, W, L = geom.height, geom.width, geom.layers
+    hj, hx = PHJ, PHX
+    Hp, Wp = H + 2 * hj, W + 2 * hx
+    dtype = jnp.dtype(dtype)
+    while H % tile_j:
+        tile_j //= 2
+    if tile_j % 8:
+        raise ValueError(f"tile_j must be a multiple of 8, got {tile_j}")
+    nj = H // tile_j
+    tj_in = tile_j + 2 * hj
+    tj4 = tile_j + 4          # spu needs filtered values on core rows +-2
+    nf = W // 2 + 1
+
+    # host-side constants: DFT factor matrices + wrap-padded damping mask
+    C_np, S_np, Cw_np, Sw_np = polar_filter.build_dft_matrices(
+        W, dtype=np.dtype(dtype))
+    mask_np = np.pad(np.asarray(geom.polar_mask, dtype),
+                     ((hj, hj), (0, 0)), mode="wrap")          # (Hp, nf)
+
+    prec = {"highest": jax.lax.Precision.HIGHEST,   # 6-pass bf16 (~f32 exact)
+            "high": jax.lax.Precision.HIGH,          # 3-pass bf16 (~1e-4 rel)
+            "default": jax.lax.Precision.DEFAULT}[filter_precision]
+
+    spec3_in = pl.BlockSpec(
+        (pl.Element(L), pl.Element(tj_in), pl.Element(Wp)),
+        lambda j: (0, j * tile_j, 0), memory_space=pltpu.VMEM)
+    spec2_in = pl.BlockSpec(
+        (pl.Element(tj_in), pl.Element(Wp)),
+        lambda j: (j * tile_j, 0), memory_space=pltpu.VMEM)
+    spec_row = pl.BlockSpec(
+        (pl.Element(tj_in), pl.Element(1)), lambda j: (j * tile_j, 0),
+        memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec(
+        (pl.Element(L), pl.Element(1), pl.Element(1)), lambda j: (0, 0, 0),
+        memory_space=pltpu.VMEM)
+    spec_mask = pl.BlockSpec(
+        (pl.Element(tj_in), pl.Element(nf)), lambda j: (j * tile_j, 0),
+        memory_space=pltpu.VMEM)
+
+    def full_spec(shape):
+        return pl.BlockSpec(tuple(pl.Element(s) for s in shape),
+                            lambda j: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    spec3_out_pad = pl.BlockSpec(
+        (pl.Element(L), pl.Element(tile_j), pl.Element(W)),
+        lambda j: (0, pl.multiple_of(hj + j * tile_j, 8), hx),
+        memory_space=pltpu.VMEM)
+    spec2_out_pad = pl.BlockSpec(
+        (pl.Element(tile_j), pl.Element(W)),
+        lambda j: (pl.multiple_of(hj + j * tile_j, 8), hx),
+        memory_space=pltpu.VMEM)
+
+    def kernel(p_ref, u_ref, v_ref, t_ref, q_ref,
+               sp_ref, su_ref, sv_ref, st_ref, sq_ref,
+               dxj_ref, dxh_ref, lat_ref, hm_ref,
+               sigt_ref, sigb_ref, sig_ref, dsig_ref,
+               C_ref, S_ref, Cw_ref, Sw_ref, mask_ref,
+               pn_ref, un_ref, vn_ref, tn_ref, qn_ref):
+        lgeom = dataclasses.replace(
+            geom,
+            dx_j=dxj_ref[:].reshape(1, tj_in, 1),
+            dx_h=dxh_ref[:].reshape(1, tj_in, 1),
+            lat=lat_ref[:],
+            heightmap=hm_ref[:],
+            sigt=sigt_ref[:], sigb=sigb_ref[:],
+            sig=sig_ref[:], dsig=dsig_ref[:],
+        )
+        spu_raw, pg_phi, pg_phiv = core25d.pgf_forces(
+            sp_ref[:], su_ref[:], st_ref[:], lgeom)
+
+        # --- in-VMEM polar filter: one batched real-DFT matmul set -------
+        # spu on core rows +-2 (downstream stencil reach is 2), pg_phi on
+        # core rows only (elementwise use); core longitude columns.
+        Xs = spu_raw[:, hj - 2:hj + tile_j + 2, hx:hx + W]
+        Xp = pg_phi[:, hj:hj + tile_j, hx:hx + W]
+        ms = jnp.broadcast_to(mask_ref[hj - 2:hj + tile_j + 2][None],
+                              (L, tj4, nf)).reshape(L * tj4, nf)
+        mp = jnp.broadcast_to(mask_ref[hj:hj + tile_j][None],
+                              (L, tile_j, nf)).reshape(L * tile_j, nf)
+        # pg_phi batch first: its length L*tile_j is a multiple of 8, so
+        # both output slices start sublane-aligned for Mosaic.
+        X = jnp.concatenate([Xp.reshape(L * tile_j, W),
+                             Xs.reshape(L * tj4, W)], axis=0)
+        m = jnp.concatenate([mp, ms], axis=0)
+        mm = lambda x, y: jnp.matmul(x, y, precision=prec,
+                                     preferred_element_type=dtype)
+        a = mm(X, C_ref[:]) * m
+        b = mm(X, S_ref[:]) * m
+        Y = mm(a, Cw_ref[:]) + mm(b, Sw_ref[:])
+        pgfu = Y[:L * tile_j].reshape(L, tile_j, W)
+        Ys = Y[L * tile_j:].reshape(L, tj4, W)
+
+        # filtered spu back to full block extent: exact wrap columns from
+        # the filtered core; rows outside core+-2 keep unfiltered values
+        # (their influence is cropped with the output halo).
+        ys_wide = jnp.concatenate([Ys[..., W - hx:], Ys, Ys[..., :hx]],
+                                  axis=-1)
+        spu_f = jnp.concatenate(
+            [spu_raw[:, :hj - 2], ys_wide, spu_raw[:, hj + tile_j + 2:]],
+            axis=1)
+
+        # --- tendency assembly + momentum epilogue ------------------------
+        p_n, pu_partial, pv_partial, t_n, q_n = core25d.half_timestep_rest(
+            p_ref[:], u_ref[:], v_ref[:], t_ref[:], q_ref[:],
+            sp_ref[:], su_ref[:], sv_ref[:], st_ref[:], sq_ref[:],
+            spu_f, dt, lgeom, coriolis=coriolis)
+        ctr = lambda x: x[..., hj:-hj, hx:-hx]
+        pn_ref[:] = ctr(p_n)
+        un_ref[:] = (ctr(pu_partial) - pgfu * dt) / ctr(stencil.iph(p_n))
+        vn_ref[:] = (ctr(pv_partial) - ctr(pg_phiv) * dt) / ctr(stencil.jph(p_n))
+        tn_ref[:] = ctr(t_n)
+        qn_ref[:] = ctr(q_n)
+
+    shape3_pad = jax.ShapeDtypeStruct((L, Hp, Wp), dtype)
+    shape2_pad = jax.ShapeDtypeStruct((Hp, Wp), dtype)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nj,),
+        in_specs=[spec2_in] + [spec3_in] * 4
+                 + [spec2_in] + [spec3_in] * 4
+                 + [spec_row, spec_row, spec_row, spec2_in]
+                 + [spec_k] * 4
+                 + [full_spec((W, nf)), full_spec((W, nf)),
+                    full_spec((nf, W)), full_spec((nf, W)), spec_mask],
+        out_specs=(spec2_out_pad, spec3_out_pad, spec3_out_pad,
+                   spec3_out_pad, spec3_out_pad),
+        out_shape=(shape2_pad, shape3_pad, shape3_pad, shape3_pad,
+                   shape3_pad),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    dxj_c, dxh_c, lat_c, hm_c, sigt_c, sigb_c, sig_c, dsig_c = \
+        _geom_row_consts(geom, dtype, hj, hx)
+    C_c, S_c = jnp.asarray(C_np), jnp.asarray(S_np)
+    Cw_c, Sw_c = jnp.asarray(Cw_np), jnp.asarray(Sw_np)
+    mask_c = jnp.asarray(mask_np)
+
+    def half(base_pad, seval_pad):
+        return call(*base_pad, *seval_pad,
+                    dxj_c, dxh_c, lat_c, hm_c,
+                    sigt_c, sigb_c, sig_c, dsig_c,
+                    C_c, S_c, Cw_c, Sw_c, mask_c)
+
+    return half

@@ -68,6 +68,95 @@ def test_fused_polar_bc_applied():
     np.testing.assert_allclose(np.asarray(v_n)[:, -1, :], 0.0, atol=1e-14)
 
 
+def test_half_timestep_v2_matches_v1():
+    """The pgf-first single-filter half step is the same half step."""
+    geom = geometry.gen_geometry(16, 128, 3, sig_func=geometry.manabe_sig)
+    s = _initial(geom, seed=5)
+    a = core25d.half_timestep(*s, *s, 300.0, geom)
+    b = core25d.half_timestep_v2(*s, *s, 300.0, geom)
+    for name, x, y in zip("puvtq", a, b):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=1e-12, atol=1e-12,
+                                   err_msg=f"field {name}")
+
+
+def test_fused_v2_matches_core_f64():
+    from gcmiipy_tpu.ops import pallas_stencil as ps
+    geom = geometry.gen_geometry(16, 128, 3, sig_func=geometry.manabe_sig)
+    state = _initial(geom, seed=6)
+    step_f = fused.make_fused_matsuno_padded_v2(geom, 300.0,
+                                                dtype=jnp.float64,
+                                                interpret=True)
+    state_f = tuple(ps.pad_state(x) for x in state)
+    state_r = state
+    for _ in range(2):
+        state_f = step_f(*state_f)
+        state_r = core25d.matsuno_timestep(*state_r, 300.0, geom)
+    for name, a, b in zip("puvtq", state_r, state_f):
+        np.testing.assert_allclose(np.asarray(ps.core(b)), np.asarray(a),
+                                   rtol=1e-11, atol=1e-11,
+                                   err_msg=f"field {name}")
+
+
+def test_fused_v2_coriolis_topography():
+    from gcmiipy_tpu.ops import pallas_stencil as ps
+    hm = np.zeros((16, 128))
+    hm[4:8, 10:40] = 1500.0
+    geom = geometry.gen_geometry(16, 128, 3, sig_func=geometry.manabe_sig,
+                                 heightmap=hm)
+    state = _initial(geom, seed=7)
+    step_f = fused.make_fused_matsuno_padded_v2(
+        geom, 300.0, dtype=jnp.float64, coriolis=True, interpret=True)
+    state_f = step_f(*(ps.pad_state(x) for x in state))
+    state_r = core25d.matsuno_timestep(*state, 300.0, geom, coriolis=True)
+    for a, b in zip(state_r, state_f):
+        np.testing.assert_allclose(np.asarray(ps.core(b)), np.asarray(a),
+                                   rtol=1e-11, atol=1e-11)
+
+
+def test_mega_kernel_matches_core_f64():
+    """v3 mega-kernel (in-VMEM DFT filter) vs the XLA core with the DFT
+    filter: same linear operator, so f64 interpret agrees to roundoff."""
+    from gcmiipy_tpu.ops import pallas_stencil as ps
+    from gcmiipy_tpu.ops import polar_filter
+
+    geom = geometry.gen_geometry(16, 128, 3, sig_func=geometry.manabe_sig)
+    mats = polar_filter.build_dft_matrices(geom.width, dtype=np.float64)
+    filt = lambda q, g: polar_filter.arakawa_1977_dft(
+        q, g, mats, precision="highest")
+    state = _initial(geom, seed=8)
+    step_f = fused.make_fused_matsuno_padded_v3(geom, 300.0,
+                                                dtype=jnp.float64,
+                                                interpret=True)
+    state_f = tuple(ps.pad_state(x) for x in state)
+    state_r = state
+    for _ in range(2):
+        state_f = step_f(*state_f)
+        state_r = core25d.matsuno_timestep(*state_r, 300.0, geom,
+                                           filter_fn=filt)
+    for name, a, b in zip("puvtq", state_r, state_f):
+        np.testing.assert_allclose(np.asarray(ps.core(b)), np.asarray(a),
+                                   rtol=1e-9, atol=1e-9,
+                                   err_msg=f"field {name}")
+
+
+def test_mega_kernel_coriolis_topography():
+    from gcmiipy_tpu.ops import pallas_stencil as ps
+    hm = np.zeros((16, 128))
+    hm[4:8, 10:40] = 1500.0
+    geom = geometry.gen_geometry(16, 128, 3, sig_func=geometry.manabe_sig,
+                                 heightmap=hm)
+    state = _initial(geom, seed=9)
+    step_f = fused.make_fused_matsuno_padded_v3(
+        geom, 300.0, dtype=jnp.float64, coriolis=True, interpret=True)
+    state_f = step_f(*(ps.pad_state(x) for x in state))
+    state_r = core25d.matsuno_timestep(*state, 300.0, geom, coriolis=True)
+    for name, a, b in zip("puvtq", state_r, state_f):
+        np.testing.assert_allclose(np.asarray(ps.core(b)), np.asarray(a),
+                                   rtol=1e-9, atol=1e-9,
+                                   err_msg=f"field {name}")
+
+
 def test_wrap_pad_is_periodic():
     from gcmiipy_tpu.ops.pallas_stencil import HALO_J, HALO_X, wrap_pad
     x = jnp.asarray(np.random.default_rng(4).standard_normal((3, 8, 256)))
