@@ -55,15 +55,17 @@ def tpu_throughput(height, width, layers, steps, dtype="float32",
     dt = 30.0  # small dt: stability irrelevant for throughput, avoids NaN traps
 
     state = (p, u, v, t, q)
-    if backend == "fused3":
+    if backend in ("fused3", "fused4"):
         # mega-kernel: polar filter lives inside the kernel (DFT matmuls)
         from gcmiipy_tpu.dynamics import fused
         from gcmiipy_tpu.ops import pallas_stencil as ps
-        step_padded = fused.make_fused_matsuno_padded_v3(
+        make = (fused.make_fused_matsuno_padded_v4 if backend == "fused4"
+                else fused.make_fused_matsuno_padded_v3)
+        step_padded = make(
             geom, dt, dtype=dtype,
             filter_precision="default" if polar_filter == "dft_bf16"
             else "high")
-        state = tuple(ps.pad_state(x) for x in state)
+        state = tuple(ps.pad_rows(x) for x in state)
 
         def body(carry, _):
             return step_padded(*carry), None
@@ -136,7 +138,7 @@ def main():
     ap.add_argument("--baseline-height", type=int, default=128)
     ap.add_argument("--baseline-width", type=int, default=256)
     ap.add_argument("--backend", default="fused",
-                    choices=["fused", "fused2", "fused3", "xla"])
+                    choices=["fused", "fused2", "fused3", "fused4", "xla"])
     ap.add_argument("--filter", default="fft",
                     choices=["fft", "dft", "dft_bf16", "matmul"])
     args = ap.parse_args()

@@ -196,18 +196,39 @@ def compute_geopotential_hydrostatic(p, t, geom):
 
 def pgf(p, t, geom):
     """Pressure-gradient force terms (pgfu, pgfv, phiu, phiv)
-    (reference dynamics.py:147-171)."""
+    (reference dynamics.py:147-171).
+
+    The geopotential ladder is inlined so the thermodynamic subexpressions
+    (tp, p^kappa, tt, rho) are computed ONCE: the reference (and
+    :func:`compute_geopotential`) recompute them, and ``(tp/P0)^kappa`` is
+    the same quantity as the ladder's ``pkdn``, so ``tt = t * pk`` replaces
+    a second 3D ``pow`` — on the TPU VPU the transcendentals are the
+    expensive part of this function.  Deviation from the reference is at
+    float-rounding level (t*pk vs t/(P0/tp)^kappa).
+    """
     sig = jnp.asarray(geom.sig, t.dtype)
+    dsig = jnp.asarray(geom.dsig, t.dtype)
+    sigt = jnp.asarray(geom.sigt, t.dtype)
     ptop = jnp.asarray(geom.ptop, t.dtype)
+    heightmap = jnp.asarray(geom.heightmap, t.dtype)
     dx_j = jnp.asarray(geom.dx_j, t.dtype)
     dy = jnp.asarray(geom.dy, t.dtype)
 
     tp = p * sig + ptop
-    tt = thermo.to_true_temp(t, tp)
+    pk = (tp / constants.P0) ** constants.kappa   # == pkdn of the ladder
+    tt = t * pk
     rho = tp / (constants.Rd * tt)
     sp = sig * p
 
-    phi = compute_geopotential(p, t, geom)
+    # geopotential ladder (dynamics.py:126-135), sharing tp/pk/tt/rho
+    spa = sp / rho
+    s1 = spa * dsig
+    pkup = kp(pk)
+    stp = constants.Cp * kph(t) * (pk - pkup)
+    s2 = sigt * stp
+    base = jnp.sum(s1 - s2, axis=0) + heightmap * constants.G
+    stp_n = jnp.concatenate([base[None], km(stp)[1:]], axis=0)
+    phi = _prefix_sum_k(stp_n)
 
     phiu = iph(p) * gradi(phi, dx_j)
     phiv = jph(p) * gradj(phi, dy)

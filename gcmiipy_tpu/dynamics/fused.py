@@ -141,16 +141,17 @@ def make_fused_matsuno_padded_v2(geom, dt, coriolis=False, dtype=jnp.float32,
 def make_fused_matsuno_padded_v3(geom, dt, coriolis=False, dtype=jnp.float32,
                                  tile_j=32, filter_precision="high",
                                  interpret=False):
-    """Matsuno step over padded-state arrays, mega-kernel pipeline.
+    """Matsuno step over ROWS-padded arrays (pallas_stencil.pad_rows),
+    mega-kernel pipeline.
 
     ONE Pallas call per half step: pgf + polar filter (in-VMEM real-DFT
     matmuls, MXU) + tendency assembly + momentum epilogue.  No intermediate
     touches HBM.  The filter is the same damping mask as the rFFT path;
-    with ``filter_precision="high"`` the transform carries ~1e-4 relative
-    error on TPU (bf16 3-pass matmuls), "default" ~2% (single-pass).
+    ``filter_precision="high"`` (3-pass bf16) carries ~1e-5 relative filter
+    error on TPU, "default" (1-pass) ~1e-3 — research mode only.
     """
     from gcmiipy_tpu.ops.pallas_stencil import (
-        PHJ, make_mega_kernel_padded, refresh_halo)
+        PHJ, make_mega_kernel_padded, refresh_rows)
 
     half_kernel = make_mega_kernel_padded(
         geom, dt, coriolis=coriolis, dtype=dtype, tile_j=tile_j,
@@ -160,12 +161,37 @@ def make_fused_matsuno_padded_v3(geom, dt, coriolis=False, dtype=jnp.float32,
     def half(base_pad, seval_pad):
         pn, un, vn, tn, qn = half_kernel(base_pad, seval_pad)
         vn = vn.at[:, PHJ + H - 1, :].set(0.0)  # polar wall (dynamics.py:222)
-        return tuple(refresh_halo(x) for x in (pn, un, vn, tn, qn))
+        return tuple(refresh_rows(x) for x in (pn, un, vn, tn, qn))
 
     def step(p_pad, u_pad, v_pad, t_pad, q_pad):
         base = (p_pad, u_pad, v_pad, t_pad, q_pad)
         starred = half(base, base)
         return half(base, starred)
+
+    return step
+
+
+def make_fused_matsuno_padded_v4(geom, dt, coriolis=False, dtype=jnp.float32,
+                                 tile_j=32, filter_precision="high",
+                                 interpret=False):
+    """Matsuno step over ROWS-padded arrays: both halves in ONE kernel.
+
+    The v3 mega-kernel is DMA/launch-bound; fusing predictor+corrector
+    reads the 5 base fields once per STEP instead of 10 per half and
+    launches once.  The polar wall is applied in-kernel.  Numerics match
+    v3 (same half-step expressions; the starred state is recomputed on
+    block halos instead of exchanged through HBM).
+    """
+    from gcmiipy_tpu.ops.pallas_stencil import (
+        make_mega_step_kernel, refresh_rows)
+
+    step_kernel = make_mega_step_kernel(
+        geom, dt, coriolis=coriolis, dtype=dtype, tile_j=tile_j,
+        filter_precision=filter_precision, interpret=interpret)
+
+    def step(p_pad, u_pad, v_pad, t_pad, q_pad):
+        out = step_kernel((p_pad, u_pad, v_pad, t_pad, q_pad))
+        return tuple(refresh_rows(x) for x in out)
 
     return step
 
@@ -177,26 +203,43 @@ def fused_grid_supported(geom):
 
 
 def make_fused_step(geom, dt, coriolis=False, dtype=jnp.float32,
-                    filter_fn=None, tile_j=32, tile_i=None, interpret=False):
+                    filter_fn=None, tile_j=32, tile_i=None, interpret=None,
+                    pipeline="v1", filter_precision="high"):
     """Drop-in fused replacement for ``core25d.matsuno_timestep``:
     unpadded-state signature, padded-state pipeline inside.
 
-    Grids whose height is not a multiple of 8 or width not a multiple of
-    128 fall back to the XLA core (same numerics, slower)."""
+    ``pipeline``: "v1" = fused half-step kernel with the polar filter as a
+    separate XLA op (``filter_fn`` honored); "mega" = one kernel per half
+    step with the DFT filter fused in-VMEM (``filter_fn`` ignored,
+    ``filter_precision`` applies).  Grids whose height is not a multiple
+    of 8 or width not a multiple of 128 fall back to the XLA core (same
+    numerics, slower)."""
     if not fused_grid_supported(geom):
         from gcmiipy_tpu.dynamics import core25d
         return lambda *s: core25d.matsuno_timestep(
             *s, dt, geom, filter_fn=filter_fn, coriolis=coriolis)
 
-    from gcmiipy_tpu.ops.pallas_stencil import core as core_of, pad_state
+    if interpret is None:
+        import jax
+        interpret = jax.default_backend() != "tpu"
 
-    step_padded = make_fused_matsuno_padded(
-        geom, dt, coriolis=coriolis, dtype=dtype, filter_fn=filter_fn,
-        tile_j=tile_j, tile_i=tile_i, interpret=interpret)
+    from gcmiipy_tpu.ops.pallas_stencil import (
+        core as core_of, core_rows, pad_rows, pad_state)
+
+    if pipeline == "mega":
+        step_padded = make_fused_matsuno_padded_v3(
+            geom, dt, coriolis=coriolis, dtype=dtype, tile_j=tile_j,
+            filter_precision=filter_precision, interpret=interpret)
+        pad_fn, core_fn = pad_rows, core_rows
+    else:
+        step_padded = make_fused_matsuno_padded(
+            geom, dt, coriolis=coriolis, dtype=dtype, filter_fn=filter_fn,
+            tile_j=tile_j, tile_i=tile_i, interpret=interpret)
+        pad_fn, core_fn = pad_state, core_of
 
     def step(p, u, v, t, q):
-        s = tuple(pad_state(x.astype(dtype)) for x in (p, u, v, t, q))
+        s = tuple(pad_fn(x.astype(dtype)) for x in (p, u, v, t, q))
         s = step_padded(*s)
-        return tuple(core_of(x) for x in s)
+        return tuple(core_fn(x) for x in s)
 
     return step

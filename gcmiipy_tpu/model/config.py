@@ -40,10 +40,19 @@ class ModelConfig:
 
     # Numerics
     dtype: str = "float32"
-    # 'fft' | 'matmul' polar filter implementation
+    # 'fft' | 'matmul' | 'dft' polar filter implementation (ignored by the
+    # 'mega' backend, whose filter is fused into the kernel)
     polar_filter: str = "fft"
-    # 'xla' | 'fused' (Pallas) stencil backend for the 2.5D core
+    # Stencil backend for the 2.5D core:
+    #   'xla'   — jnp.roll stencils (always available, any grid/dtype)
+    #   'fused' — fused Pallas half-step kernel, filter via polar_filter
+    #   'mega'  — one Pallas kernel per half step with the polar filter
+    #             fused in-VMEM (fastest; f32, grid 8|H and 128|W)
     backend: str = "xla"
+    # Matmul precision of the mega backend's in-kernel DFT filter:
+    # 'high' (3-pass bf16, ~1e-5 filter err), 'highest' (6-pass, f32-exact),
+    # 'default' (1-pass bf16, research mode)
+    filter_precision: str = "high"
 
     # Diagnostics cadence: steps per scan chunk when collecting stats
     stats: bool = True

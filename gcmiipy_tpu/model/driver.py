@@ -72,12 +72,15 @@ def solar_timestep(t, p, g, dt, utc, geom, config):
 
 
 def make_dynamics_step(geom, config, filter_fn):
-    """Select the stencil backend: plain XLA or the fused Pallas kernel."""
-    if config.backend == "fused":
+    """Select the stencil backend: plain XLA, the fused Pallas half-step
+    kernel, or the mega-kernel (filter fused in-VMEM)."""
+    if config.backend in ("fused", "mega"):
         from gcmiipy_tpu.dynamics import fused
         return fused.make_fused_step(
             geom, config.dt, coriolis=config.coriolis,
-            dtype=jnp.dtype(config.dtype), filter_fn=filter_fn)
+            dtype=jnp.dtype(config.dtype), filter_fn=filter_fn,
+            pipeline="mega" if config.backend == "mega" else "v1",
+            filter_precision=config.filter_precision)
     return lambda *s: core25d.matsuno_timestep(
         *s, config.dt, geom, filter_fn=filter_fn, coriolis=config.coriolis)
 

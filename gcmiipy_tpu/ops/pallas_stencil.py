@@ -579,28 +579,65 @@ def make_rest_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
 # filter win to the stacked-intermediate HBM round trips; this kernel
 # removes them entirely.  Blocks tile latitude only and carry full padded
 # longitude rows, which is exactly what the zonal DFT needs.
+#
+# Rows-only padded layout: because every block carries FULL longitude rows,
+# jnp.roll along lanes inside the block IS the periodic lon boundary — no
+# lon halo is stored at all (the kernel is DMA-bound; a 128-lane wrap pad
+# would be 25% dead input bytes).  Fields carry only the PHJ-row lat halo.
 # ---------------------------------------------------------------------------
+
+
+def pad_rows(x):
+    """Wrap-pad latitude rows only (mega-kernel padded layout)."""
+    pad = [(0, 0)] * (x.ndim - 2) + [(PHJ, PHJ), (0, 0)]
+    return jnp.pad(x, pad, mode="wrap")
+
+
+def core_rows(x):
+    """View the core of a rows-padded field."""
+    return x[..., PHJ:-PHJ, :]
+
+
+def refresh_rows(x):
+    """Refill the wrap row-halos of a rows-padded field from its core."""
+    H = x.shape[-2] - 2 * PHJ
+    x = x.at[..., 0:PHJ, :].set(x[..., H:H + PHJ, :])
+    x = x.at[..., PHJ + H:, :].set(x[..., PHJ:2 * PHJ, :])
+    return x
 
 
 def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
                             tile_j=32, filter_precision="high",
-                            interpret=False):
+                            interpret=False, local_height=None,
+                            geom_as_args=False):
     """Whole half step as one kernel over padded-state fields.
 
-    ``filter_precision``: "high" = 3-pass bf16 matmuls (~f32 accurate,
-    ~1e-4 relative filter error vs the exact rFFT path), "default" =
-    single-pass bf16 (~2% filter error, research mode).  On CPU/interpret
-    (f64) the DFT is exact to roundoff.
+    ``filter_precision``: "highest" = 6-pass bf16 matmuls (f32-exact),
+    "high" = 3-pass (~1e-4 relative filter error vs the exact rFFT path),
+    "default" = single-pass bf16 (~2% filter error, research mode).  On
+    CPU/interpret (f64) the DFT is exact to roundoff.
 
-    Returns ``half(base_pad_5tuple, seval_pad_5tuple) -> 5 padded outputs``
-    with stale halos (caller applies the polar wall + refresh_halo).
+    Fields use the ROWS-ONLY padded layout (:func:`pad_rows` — lat halo
+    PHJ, no lon halo: blocks carry full longitude rows, so in-block roll
+    is the periodic lon boundary).
+
+    ``local_height``/``geom_as_args``: for shard_map use — the kernel
+    covers ``local_height`` latitude rows and the returned ``half`` takes
+    the shard's padded per-row geometry ``(dxj, dxh, lat, heightmap,
+    polar_mask)`` as a sixth argument (each row-padded by PHJ).
+
+    Returns ``half(base_pad_5tuple, seval_pad_5tuple[, geom_arrays]) ->
+    5 padded outputs`` with stale halos (caller applies the polar wall +
+    refresh_rows).
     """
     from gcmiipy_tpu.dynamics import core25d
     from gcmiipy_tpu.ops import polar_filter, stencil
 
     H, W, L = geom.height, geom.width, geom.layers
-    hj, hx = PHJ, PHX
-    Hp, Wp = H + 2 * hj, W + 2 * hx
+    if local_height is not None:
+        H = local_height
+    hj = PHJ
+    Hp = H + 2 * hj
     dtype = jnp.dtype(dtype)
     while H % tile_j:
         tile_j //= 2
@@ -614,18 +651,33 @@ def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
     # host-side constants: DFT factor matrices + wrap-padded damping mask
     C_np, S_np, Cw_np, Sw_np = polar_filter.build_dft_matrices(
         W, dtype=np.dtype(dtype))
-    mask_np = np.pad(np.asarray(geom.polar_mask, dtype),
-                     ((hj, hj), (0, 0)), mode="wrap")          # (Hp, nf)
+    if not geom_as_args:
+        mask_np = np.pad(np.asarray(geom.polar_mask, dtype),
+                         ((hj, hj), (0, 0)), mode="wrap")      # (Hp, nf)
 
-    prec = {"highest": jax.lax.Precision.HIGHEST,   # 6-pass bf16 (~f32 exact)
-            "high": jax.lax.Precision.HIGH,          # 3-pass bf16 (~1e-4 rel)
-            "default": jax.lax.Precision.DEFAULT}[filter_precision]
+    # Mosaic lowers only DEFAULT (1-pass bf16) and HIGHEST (6-pass) dots;
+    # "high" (3-pass, the f32-practical sweet spot) is emulated by an
+    # explicit bf16 hi/lo operand split: x@M ~ xh@Mh + xh@Ml + xl@Mh
+    # (the dropped xl@Ml term is ~2^-16 relative).  The split only makes
+    # sense for f32 on real hardware — interpret/f64 uses exact matmuls.
+    # "fwd_high" splits only the forward transform: in the correction form
+    # the inverse matmul's bf16 error is relative to the (small) damped-band
+    # correction, while forward error injects field-scale noise INTO the
+    # damped band — so the forward side is where the passes pay off.
+    if filter_precision not in ("highest", "high", "fwd_high", "default"):
+        raise ValueError(f"bad filter_precision {filter_precision!r}")
+    f32_hw = dtype == jnp.float32 and not interpret
+    split_fwd = filter_precision in ("high", "fwd_high") and f32_hw
+    split_inv = filter_precision == "high" and f32_hw
+    prec = (jax.lax.Precision.DEFAULT
+            if filter_precision in ("default", "fwd_high")
+            else jax.lax.Precision.HIGHEST)
 
     spec3_in = pl.BlockSpec(
-        (pl.Element(L), pl.Element(tj_in), pl.Element(Wp)),
+        (pl.Element(L), pl.Element(tj_in), pl.Element(W)),
         lambda j: (0, j * tile_j, 0), memory_space=pltpu.VMEM)
     spec2_in = pl.BlockSpec(
-        (pl.Element(tj_in), pl.Element(Wp)),
+        (pl.Element(tj_in), pl.Element(W)),
         lambda j: (j * tile_j, 0), memory_space=pltpu.VMEM)
     spec_row = pl.BlockSpec(
         (pl.Element(tj_in), pl.Element(1)), lambda j: (j * tile_j, 0),
@@ -644,11 +696,11 @@ def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
 
     spec3_out_pad = pl.BlockSpec(
         (pl.Element(L), pl.Element(tile_j), pl.Element(W)),
-        lambda j: (0, pl.multiple_of(hj + j * tile_j, 8), hx),
+        lambda j: (0, pl.multiple_of(hj + j * tile_j, 8), 0),
         memory_space=pltpu.VMEM)
     spec2_out_pad = pl.BlockSpec(
         (pl.Element(tile_j), pl.Element(W)),
-        lambda j: (pl.multiple_of(hj + j * tile_j, 8), hx),
+        lambda j: (pl.multiple_of(hj + j * tile_j, 8), 0),
         memory_space=pltpu.VMEM)
 
     def kernel(p_ref, u_ref, v_ref, t_ref, q_ref,
@@ -671,9 +723,9 @@ def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
 
         # --- in-VMEM polar filter: one batched real-DFT matmul set -------
         # spu on core rows +-2 (downstream stencil reach is 2), pg_phi on
-        # core rows only (elementwise use); core longitude columns.
-        Xs = spu_raw[:, hj - 2:hj + tile_j + 2, hx:hx + W]
-        Xp = pg_phi[:, hj:hj + tile_j, hx:hx + W]
+        # core rows only (elementwise use); rows carry full longitude.
+        Xs = spu_raw[:, hj - 2:hj + tile_j + 2, :]
+        Xp = pg_phi[:, hj:hj + tile_j, :]
         ms = jnp.broadcast_to(mask_ref[hj - 2:hj + tile_j + 2][None],
                               (L, tj4, nf)).reshape(L * tj4, nf)
         mp = jnp.broadcast_to(mask_ref[hj:hj + tile_j][None],
@@ -682,22 +734,37 @@ def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
         # both output slices start sublane-aligned for Mosaic.
         X = jnp.concatenate([Xp.reshape(L * tile_j, W),
                              Xs.reshape(L * tj4, W)], axis=0)
-        m = jnp.concatenate([mp, ms], axis=0)
-        mm = lambda x, y: jnp.matmul(x, y, precision=prec,
-                                     preferred_element_type=dtype)
-        a = mm(X, C_ref[:]) * m
-        b = mm(X, S_ref[:]) * m
-        Y = mm(a, Cw_ref[:]) + mm(b, Sw_ref[:])
+        # Correction form: y = x + irfft((mask-1) rfft(x)).  The identity
+        # part passes through in full precision; matmul (bf16) error scales
+        # with the small damped-band correction instead of the whole field.
+        mc = jnp.concatenate([mp, ms], axis=0) - 1.0
+
+        def mm_split(x, M_ref):
+            Mh, Ml = M_ref[0], M_ref[1]
+            xh = x.astype(jnp.bfloat16).astype(dtype)
+            xl = x - xh
+            d = lambda u, w: jnp.matmul(
+                u, w, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=dtype)
+            return d(xh, Mh) + d(xh, Ml) + d(xl, Mh)
+
+        def mm_plain(x, M_ref):
+            return jnp.matmul(x, M_ref[:], precision=prec,
+                              preferred_element_type=dtype)
+
+        mm_fwd = mm_split if split_fwd else mm_plain
+        mm_inv = mm_split if split_inv else mm_plain
+        a = mm_fwd(X, C_ref) * mc
+        b = mm_fwd(X, S_ref) * mc
+        Y = X + mm_inv(a, Cw_ref) + mm_inv(b, Sw_ref)
         pgfu = Y[:L * tile_j].reshape(L, tile_j, W)
         Ys = Y[L * tile_j:].reshape(L, tj4, W)
 
-        # filtered spu back to full block extent: exact wrap columns from
-        # the filtered core; rows outside core+-2 keep unfiltered values
-        # (their influence is cropped with the output halo).
-        ys_wide = jnp.concatenate([Ys[..., W - hx:], Ys, Ys[..., :hx]],
-                                  axis=-1)
+        # filtered spu back to full block extent: rows outside core+-2 keep
+        # unfiltered values (their influence is cropped with the output
+        # halo); columns are full rows already — in-block roll wraps them.
         spu_f = jnp.concatenate(
-            [spu_raw[:, :hj - 2], ys_wide, spu_raw[:, hj + tile_j + 2:]],
+            [spu_raw[:, :hj - 2], Ys, spu_raw[:, hj + tile_j + 2:]],
             axis=1)
 
         # --- tendency assembly + momentum epilogue ------------------------
@@ -705,15 +772,15 @@ def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
             p_ref[:], u_ref[:], v_ref[:], t_ref[:], q_ref[:],
             sp_ref[:], su_ref[:], sv_ref[:], st_ref[:], sq_ref[:],
             spu_f, dt, lgeom, coriolis=coriolis)
-        ctr = lambda x: x[..., hj:-hj, hx:-hx]
+        ctr = lambda x: x[..., hj:-hj, :]
         pn_ref[:] = ctr(p_n)
         un_ref[:] = (ctr(pu_partial) - pgfu * dt) / ctr(stencil.iph(p_n))
         vn_ref[:] = (ctr(pv_partial) - ctr(pg_phiv) * dt) / ctr(stencil.jph(p_n))
         tn_ref[:] = ctr(t_n)
         qn_ref[:] = ctr(q_n)
 
-    shape3_pad = jax.ShapeDtypeStruct((L, Hp, Wp), dtype)
-    shape2_pad = jax.ShapeDtypeStruct((Hp, Wp), dtype)
+    shape3_pad = jax.ShapeDtypeStruct((L, Hp, W), dtype)
+    shape2_pad = jax.ShapeDtypeStruct((Hp, W), dtype)
 
     call = pl.pallas_call(
         kernel,
@@ -722,8 +789,9 @@ def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
                  + [spec2_in] + [spec3_in] * 4
                  + [spec_row, spec_row, spec_row, spec2_in]
                  + [spec_k] * 4
-                 + [full_spec((W, nf)), full_spec((W, nf)),
-                    full_spec((nf, W)), full_spec((nf, W)), spec_mask],
+                 + [full_spec((2, W, nf) if split_fwd else (W, nf))] * 2
+                 + [full_spec((2, nf, W) if split_inv else (nf, W))] * 2
+                 + [spec_mask],
         out_specs=(spec2_out_pad, spec3_out_pad, spec3_out_pad,
                    spec3_out_pad, spec3_out_pad),
         out_shape=(shape2_pad, shape3_pad, shape3_pad, shape3_pad,
@@ -733,10 +801,30 @@ def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
         interpret=interpret,
     )
 
-    dxj_c, dxh_c, lat_c, hm_c, sigt_c, sigb_c, sig_c, dsig_c = \
-        _geom_row_consts(geom, dtype, hj, hx)
-    C_c, S_c = jnp.asarray(C_np), jnp.asarray(S_np)
-    Cw_c, Sw_c = jnp.asarray(Cw_np), jnp.asarray(Sw_np)
+    def prep_mat(M, split):
+        M = jnp.asarray(M)
+        if not split:
+            return M
+        Mh = M.astype(jnp.bfloat16).astype(dtype)
+        return jnp.stack([Mh, M - Mh], axis=0)
+
+    C_c, S_c = prep_mat(C_np, split_fwd), prep_mat(S_np, split_fwd)
+    Cw_c, Sw_c = prep_mat(Cw_np, split_inv), prep_mat(Sw_np, split_inv)
+    sigt_c = jnp.asarray(geom.sigt, dtype)
+    sigb_c = jnp.asarray(geom.sigb, dtype)
+    sig_c = jnp.asarray(geom.sig, dtype)
+    dsig_c = jnp.asarray(geom.dsig, dtype)
+
+    if geom_as_args:
+        def half(base_pad, seval_pad, geom_arrays):
+            dxj_a, dxh_a, lat_a, hm_a, mask_a = geom_arrays
+            return call(*base_pad, *seval_pad,
+                        dxj_a, dxh_a, lat_a, hm_a,
+                        sigt_c, sigb_c, sig_c, dsig_c,
+                        C_c, S_c, Cw_c, Sw_c, mask_a)
+        return half
+
+    dxj_c, dxh_c, lat_c, hm_c, *_ = _geom_row_consts(geom, dtype, hj, 0)
     mask_c = jnp.asarray(mask_np)
 
     def half(base_pad, seval_pad):
@@ -746,3 +834,222 @@ def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
                     C_c, S_c, Cw_c, Sw_c, mask_c)
 
     return half
+
+
+# ---------------------------------------------------------------------------
+# v4: the whole-step kernel.  BOTH Matsuno halves (predictor + corrector),
+# including their two polar-filter rounds, in ONE pallas_call per step.
+# The kernel is DMA/launch-bound (measured: a noop body costs ~80% of the
+# full v3 kernel), so halving the input DMA (5 base fields once instead of
+# 10 per half) and the launches is the dominant win; the price is the
+# starred state being recomputed per block on core+-4 rows (halo work) and
+# ~18% more filter-matmul rows.
+#
+# Row bookkeeping (relative; hj = PHJ = 8, core C = [8, 8+tj)):
+#   predictor starred needed on [6, tj+10)  (corrector stencil reach 2)
+#   -> predictor filtered spu  on [4, tj+12) (starred reach 2)
+#      predictor filtered pgfu on [4, tj+12) (8-row aligned batches)
+#   corrector filtered s*pu    on [4, tj+12) (only [6, tj+10) consumed)
+#   corrector filtered pgfu_c  on [4, tj+12) (only core consumed)
+# All filter segments are tj+8 rows -> every matmul batch offset stays a
+# multiple of 8 sublanes.  Garbage rows are per-row local through the DFT
+# (it contracts over lanes only) and are cropped with the output halo.
+# ---------------------------------------------------------------------------
+
+
+def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
+                          tile_j=32, filter_precision="high",
+                          interpret=False):
+    """Whole Matsuno STEP as one kernel over rows-padded fields.
+
+    Returns ``step5(base_pad_5tuple) -> 5 rows-padded outputs`` with stale
+    halos (caller runs :func:`refresh_rows`; the polar wall is applied
+    in-kernel via a wall-mask row).
+    """
+    from gcmiipy_tpu.dynamics import core25d
+    from gcmiipy_tpu.ops import polar_filter, stencil
+
+    H, W, L = geom.height, geom.width, geom.layers
+    hj = PHJ
+    Hp = H + 2 * hj
+    dtype = jnp.dtype(dtype)
+    while H % tile_j:
+        tile_j //= 2
+    if tile_j % 8:
+        raise ValueError(f"tile_j must be a multiple of 8, got {tile_j}")
+    nj = H // tile_j
+    tj_in = tile_j + 2 * hj
+    tj8 = tile_j + 8           # every filter segment (rows [4, tj+12))
+    nf = W // 2 + 1
+
+    C_np, S_np, Cw_np, Sw_np = polar_filter.build_dft_matrices(
+        W, dtype=np.dtype(dtype))
+    mask_np = np.pad(np.asarray(geom.polar_mask, dtype),
+                     ((hj, hj), (0, 0)), mode="wrap")          # (Hp, nf)
+    # polar wall: 1.0 on every padded row whose GLOBAL row is H-1
+    wall_np = np.zeros((H, 1), dtype)
+    wall_np[H - 1, 0] = 1.0
+    wall_np = np.pad(wall_np, ((hj, hj), (0, 0)), mode="wrap")  # (Hp, 1)
+
+    if filter_precision not in ("highest", "high", "default"):
+        raise ValueError(f"bad filter_precision {filter_precision!r}")
+    f32_hw = dtype == jnp.float32 and not interpret
+    split = filter_precision == "high" and f32_hw
+    prec = (jax.lax.Precision.DEFAULT if filter_precision == "default"
+            else jax.lax.Precision.HIGHEST)
+
+    spec3_in = pl.BlockSpec(
+        (pl.Element(L), pl.Element(tj_in), pl.Element(W)),
+        lambda j: (0, j * tile_j, 0), memory_space=pltpu.VMEM)
+    spec2_in = pl.BlockSpec(
+        (pl.Element(tj_in), pl.Element(W)),
+        lambda j: (j * tile_j, 0), memory_space=pltpu.VMEM)
+    spec_row = pl.BlockSpec(
+        (pl.Element(tj_in), pl.Element(1)), lambda j: (j * tile_j, 0),
+        memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec(
+        (pl.Element(L), pl.Element(1), pl.Element(1)), lambda j: (0, 0, 0),
+        memory_space=pltpu.VMEM)
+    spec_mask = pl.BlockSpec(
+        (pl.Element(tj_in), pl.Element(nf)), lambda j: (j * tile_j, 0),
+        memory_space=pltpu.VMEM)
+
+    def full_spec(shape):
+        return pl.BlockSpec(tuple(pl.Element(s) for s in shape),
+                            lambda j: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    spec3_out = pl.BlockSpec(
+        (pl.Element(L), pl.Element(tile_j), pl.Element(W)),
+        lambda j: (0, pl.multiple_of(hj + j * tile_j, 8), 0),
+        memory_space=pltpu.VMEM)
+    spec2_out = pl.BlockSpec(
+        (pl.Element(tile_j), pl.Element(W)),
+        lambda j: (pl.multiple_of(hj + j * tile_j, 8), 0),
+        memory_space=pltpu.VMEM)
+
+    lo, hi = 4, tile_j + 12    # the shared filter/starred row window
+
+    def kernel(p_ref, u_ref, v_ref, t_ref, q_ref,
+               dxj_ref, dxh_ref, lat_ref, hm_ref, wall_ref,
+               sigt_ref, sigb_ref, sig_ref, dsig_ref,
+               C_ref, S_ref, Cw_ref, Sw_ref, mask_ref,
+               pn_ref, un_ref, vn_ref, tn_ref, qn_ref):
+        lgeom = dataclasses.replace(
+            geom,
+            dx_j=dxj_ref[:].reshape(1, tj_in, 1),
+            dx_h=dxh_ref[:].reshape(1, tj_in, 1),
+            lat=lat_ref[:],
+            heightmap=hm_ref[:],
+            sigt=sigt_ref[:], sigb=sigb_ref[:],
+            sig=sig_ref[:], dsig=dsig_ref[:],
+        )
+        keep = 1.0 - wall_ref[:]                       # (tj_in, 1)
+        m2 = jnp.broadcast_to(mask_ref[lo:hi][None], (L, tj8, nf))
+        m2 = jnp.concatenate([m2, m2], axis=0).reshape(2 * L * tj8, nf) - 1.0
+
+        def mm_split(x, M_ref):
+            Mh, Ml = M_ref[0], M_ref[1]
+            xh = x.astype(jnp.bfloat16).astype(dtype)
+            xl = x - xh
+            d = lambda a, b: jnp.matmul(
+                a, b, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=dtype)
+            return d(xh, Mh) + d(xh, Ml) + d(xl, Mh)
+
+        def mm_plain(x, M_ref):
+            return jnp.matmul(x, M_ref[:], precision=prec,
+                              preferred_element_type=dtype)
+
+        mm = mm_split if split else mm_plain
+
+        def filter_round(spu_raw, pg_phi):
+            """Filter both fields on rows [lo, hi); returns (spu_f embedded
+            into the full block, pgfu on rows [lo, hi))."""
+            X = jnp.concatenate(
+                [spu_raw[:, lo:hi], pg_phi[:, lo:hi]],
+                axis=0).reshape(2 * L * tj8, W)
+            a = mm(X, C_ref) * m2
+            b = mm(X, S_ref) * m2
+            Y = X + mm(a, Cw_ref) + mm(b, Sw_ref)
+            Y = Y.reshape(2 * L, tj8, W)
+            spu_f = jnp.concatenate(
+                [spu_raw[:, :lo], Y[:L], spu_raw[:, hi:]], axis=1)
+            return spu_f, Y[L:]
+
+        def half(base, seval, out_window):
+            """One half step; returns the 5 fields embedded full-block
+            (valid on rows [lo+2, hi-2) at least)."""
+            sp, su, sv, st, sq = seval
+            spu_raw, pg_phi, pg_phiv = core25d.pgf_forces(sp, su, st, lgeom)
+            spu_f, pgfu = filter_round(spu_raw, pg_phi)
+            p_n, pup, pvp, t_n, q_n = core25d.half_timestep_rest(
+                *base, sp, su, sv, st, sq, spu_f, dt, lgeom,
+                coriolis=coriolis)
+            w = lambda x: x[..., lo:hi, :]
+            iph_pn = w(stencil.iph(p_n))
+            jph_pn = w(stencil.jph(p_n))
+            u_n = (w(pup) - pgfu * dt) / iph_pn
+            v_n = ((w(pvp) - w(pg_phiv) * dt) / jph_pn) * keep[lo:hi]
+            if out_window:
+                return w(p_n), u_n, v_n, w(t_n), w(q_n)
+            # embed into full blocks for the corrector's stencil reads
+            pb, ub, vb, tb, qb = base
+            emb = lambda mid, full: jnp.concatenate(
+                [full[..., :lo, :], mid, full[..., hi:, :]], axis=-2)
+            return (emb(w(p_n), pb), emb(u_n, ub), emb(v_n, vb),
+                    emb(w(t_n), tb), emb(w(q_n), qb))
+
+        base = (p_ref[:], u_ref[:], v_ref[:], t_ref[:], q_ref[:])
+        starred = half(base, base, out_window=False)
+        p_n, u_n, v_n, t_n, q_n = half(base, starred, out_window=True)
+        ctr = lambda x: x[..., hj - lo:hj - lo + tile_j, :]
+        pn_ref[:] = ctr(p_n)
+        un_ref[:] = ctr(u_n)
+        vn_ref[:] = ctr(v_n)
+        tn_ref[:] = ctr(t_n)
+        qn_ref[:] = ctr(q_n)
+
+    shape3_pad = jax.ShapeDtypeStruct((L, Hp, W), dtype)
+    shape2_pad = jax.ShapeDtypeStruct((Hp, W), dtype)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nj,),
+        in_specs=[spec2_in] + [spec3_in] * 4
+                 + [spec_row, spec_row, spec_row, spec2_in, spec_row]
+                 + [spec_k] * 4
+                 + [full_spec((2, W, nf) if split else (W, nf))] * 2
+                 + [full_spec((2, nf, W) if split else (nf, W))] * 2
+                 + [spec_mask],
+        out_specs=(spec2_out, spec3_out, spec3_out, spec3_out, spec3_out),
+        out_shape=(shape2_pad, shape3_pad, shape3_pad, shape3_pad,
+                   shape3_pad),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def prep_mat(M):
+        M = jnp.asarray(M)
+        if not split:
+            return M
+        Mh = M.astype(jnp.bfloat16).astype(dtype)
+        return jnp.stack([Mh, M - Mh], axis=0)
+
+    C_c, S_c = prep_mat(C_np), prep_mat(S_np)
+    Cw_c, Sw_c = prep_mat(Cw_np), prep_mat(Sw_np)
+    dxj_c, dxh_c, lat_c, hm_c, *_ = _geom_row_consts(geom, dtype, hj, 0)
+    sigt_c = jnp.asarray(geom.sigt, dtype)
+    sigb_c = jnp.asarray(geom.sigb, dtype)
+    sig_c = jnp.asarray(geom.sig, dtype)
+    dsig_c = jnp.asarray(geom.dsig, dtype)
+    mask_c = jnp.asarray(mask_np)
+    wall_c = jnp.asarray(wall_np)
+
+    def step5(base_pad):
+        return call(*base_pad, dxj_c, dxh_c, lat_c, hm_c, wall_c,
+                    sigt_c, sigb_c, sig_c, dsig_c,
+                    C_c, S_c, Cw_c, Sw_c, mask_c)
+
+    return step5

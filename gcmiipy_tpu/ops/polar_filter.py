@@ -113,21 +113,31 @@ def build_dft_matrices(width, dtype=np.float32):
             Cw.astype(dtype), Sw.astype(dtype))
 
 
-def arakawa_1977_dft(q, geom, dft_mats, precision="high"):
+def arakawa_1977_dft(q, geom, dft_mats, precision="high",
+                     form="correction"):
     """Polar filter via shared-matrix real DFT matmuls (same damping mask
     as :func:`arakawa_1977`).
 
     ``precision`` matters on TPU: the MXU truncates f32 matmul inputs to
-    bf16 by default (~2% error on the transform); "high" (3-pass bf16)
-    recovers ~f32 accuracy at ~1.5x the matmul cost and is the default.
+    bf16 by default; "high" (3-pass bf16) recovers ~f32 accuracy at ~1.5x
+    the matmul cost.
+
+    ``form="correction"`` computes ``q + irfft((mask-1) rfft(q))`` — the
+    identity passes through exactly and matmul error scales with the small
+    damped-band correction rather than the whole field (typically >10x
+    less error than the direct form at the same precision).  "direct" is
+    the plain ``irfft(mask rfft(q))``.
     """
     if q.shape[-1] == 1:
         return q
     prec = precision
     C, S, Cw, Sw = (jnp.asarray(m, q.dtype) for m in dft_mats)
     mask = jnp.asarray(geom.polar_mask, q.dtype)   # (J, nf)
+    if form == "correction":
+        mask = mask - 1.0
     mm = lambda x, y: jnp.matmul(x, y, precision=prec,
                                  preferred_element_type=q.dtype)
     a = mm(q, C) * mask
     b = mm(q, S) * mask
-    return mm(a, Cw) + mm(b, Sw)
+    out = mm(a, Cw) + mm(b, Sw)
+    return q + out if form == "correction" else out

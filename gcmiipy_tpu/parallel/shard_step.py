@@ -143,6 +143,107 @@ def make_shard_step(mesh, geom, dt, coriolis=False, dtype=np.float32):
     return run
 
 
+def make_shard_step_fused(mesh, geom, dt, coriolis=False, dtype=np.float32,
+                          tile_j=32, filter_precision="high",
+                          interpret=False):
+    """Mega-kernel Matsuno step under a latitude-ring decomposition.
+
+    The production multi-chip path: the grid is decomposed over latitude
+    only (mesh axis 'y'); each shard keeps full longitude rows, so the
+    zonal DFT polar filter runs *inside* the fused Pallas kernel with zero
+    communication — the only collective per half step is the width-PHJ
+    latitude halo ``ppermute`` ring (reference periodicity in j is
+    np.roll-based, so the ring wraparound is exact).  Longitude sharding
+    for grids too wide for one chip is served by the GSPMD path
+    (:mod:`gcmiipy_tpu.parallel.gspmd`) and :func:`make_shard_step`.
+
+    Returns a jitted ``step(p, u, v, t, q)`` on arrays sharded P('y')
+    over latitude.
+    """
+    from gcmiipy_tpu.ops import pallas_stencil as ps
+
+    if "y" not in mesh.axis_names:
+        raise ValueError("mesh must have a 'y' axis")
+    ny = mesh.shape["y"]
+    if geom.height % ny:
+        raise ValueError("height must divide the lat mesh axis")
+    Hl = geom.height // ny
+    if Hl < ps.PHJ:
+        raise ValueError(f"shard rows {Hl} < padded-state halo {ps.PHJ}")
+    W = geom.width
+    geom = geom.astype(dtype)
+
+    half_kernel = ps.make_mega_kernel_padded(
+        geom, dt, coriolis=coriolis, dtype=jnp.dtype(dtype), tile_j=tile_j,
+        filter_precision=filter_precision, interpret=interpret,
+        local_height=Hl, geom_as_args=True)
+
+    def lat_ring_pad(x):
+        """Rows-only padded layout: lat rows from the ppermute ring; lon
+        needs no halo (shards keep full rows; in-kernel roll wraps)."""
+        return halo.exchange_axis(x, ps.PHJ, "y", -2)
+
+    def body(dx_j, dx_h, lat, heightmap, mask, p, u, v, t, q):
+        def rows(a):  # (..., Jl, 1) -> ring-padded (Jl + 2*PHJ, 1)
+            return halo.exchange_axis(a.reshape(-1, 1), ps.PHJ, "y", -2)
+
+        geom_arrays = (
+            rows(dx_j), rows(dx_h), rows(lat),
+            lat_ring_pad(heightmap),
+            halo.exchange_axis(mask, ps.PHJ, "y", -2),
+        )
+        my_y = jax.lax.axis_index("y")
+        wall = (my_y == ny - 1)
+        wall_row = ps.PHJ + Hl - 1
+
+        def half(base_pad, seval_pad):
+            pn, un, vn, tn, qn = half_kernel(base_pad, seval_pad,
+                                             geom_arrays)
+            vn = vn.at[:, wall_row, :].multiply(
+                jnp.where(wall, 0.0, 1.0))   # polar wall (dynamics.py:222)
+            return tuple(lat_ring_pad(ps.core_rows(x))
+                         for x in (pn, un, vn, tn, qn))
+
+        base = tuple(lat_ring_pad(x) for x in (p, u, v, t, q))
+        starred = half(base, base)
+        out = half(base, starred)
+        return tuple(ps.core_rows(x) for x in out)
+
+    from jax import shard_map
+
+    surf = P("y", None)
+    full = P(None, "y", None)
+    rowspec = P(None, "y", None)   # (1, J, 1) per-row geometry
+    latspec = P("y", None)         # (J, 1)
+    maskspec = P("y", None)        # (J, nf)
+
+    step = shard_map(
+        body, mesh=mesh,
+        in_specs=(rowspec, rowspec, latspec, surf, maskspec,
+                  surf, full, full, full, full),
+        out_specs=(surf, full, full, full, full),
+        # pallas_call outputs carry no varying-mesh-axes annotation
+        check_vma=False,
+    )
+
+    dx_j_s = jax.device_put(np.asarray(geom.dx_j, dtype),
+                            NamedSharding(mesh, rowspec))
+    dx_h_s = jax.device_put(np.asarray(geom.dx_h, dtype),
+                            NamedSharding(mesh, rowspec))
+    lat_s = jax.device_put(np.asarray(geom.lat, dtype),
+                           NamedSharding(mesh, latspec))
+    hm_s = jax.device_put(np.asarray(geom.heightmap, dtype),
+                          NamedSharding(mesh, surf))
+    mask_s = jax.device_put(np.asarray(geom.polar_mask, dtype),
+                            NamedSharding(mesh, maskspec))
+
+    @jax.jit
+    def run(p, u, v, t, q):
+        return step(dx_j_s, dx_h_s, lat_s, hm_s, mask_s, p, u, v, t, q)
+
+    return run
+
+
 def shard_prognostics(prog, mesh):
     """Place a PrognosticVars tuple on the mesh."""
     surf = NamedSharding(mesh, P("y", "x"))

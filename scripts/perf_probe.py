@@ -58,7 +58,7 @@ def main():
     t = jnp.asarray((300.0 + rng.standard_normal((L, H, W)))
                     * (constants.P0 / tp) ** constants.kappa, jnp.float32)
     q = jnp.asarray(1e-5 * (1 + 0.1 * rng.random((L, H, W))), jnp.float32)
-    state = tuple(ps.pad_state(x) for x in (p, u, v, t, q))
+    state = tuple(ps.pad_rows(x) for x in (p, u, v, t, q))
 
     def scan_of(step):
         def body(c, _):
@@ -74,6 +74,36 @@ def main():
     step_full = fused.make_fused_matsuno_padded_v3(
         geom, 30.0, filter_precision=args.precision)
     print("full v3          :", f"{timed(scan_of(step_full), state, args.steps):.2f} ms/step", flush=True)
+
+    # stage isolation: noop body (DMA+launch), pgf+filter only, full
+    from gcmiipy_tpu.dynamics import core25d as c25
+
+    orig_rest, orig_pgf = c25.half_timestep_rest, c25.pgf_forces
+
+    def run_variant(name, patch_pgf, patch_rest):
+        c25.pgf_forces = (
+            (lambda sp, su, st, geom: (su, st, st)) if patch_pgf
+            else orig_pgf)
+        c25.half_timestep_rest = (
+            (lambda p, u, v, t, q, sp, su, sv, st, sq, spu, dt, geom,
+             coriolis=False: (p + spu[0], u + spu, v, t, q)) if patch_rest
+            else orig_rest)
+        try:
+            half = ps.make_mega_kernel_padded(
+                geom, 30.0, tile_j=32, filter_precision=args.precision)
+
+            def step_k(*s, _half=half):
+                a = _half(s, s)
+                return _half(s, a)
+            ms = timed(scan_of(step_k), state, args.steps)
+            print(f"{name:17s}: {ms:.2f} ms/step", flush=True)
+        except Exception as e:
+            print(f"{name:17s}: failed: {type(e).__name__}: {e}", flush=True)
+        finally:
+            c25.half_timestep_rest, c25.pgf_forces = orig_rest, orig_pgf
+
+    run_variant("noop body (DMA)", True, True)
+    run_variant("pgf+filter only", False, True)
 
     # kernel-only (no refresh, no wall)
     for tj in (16, 32, 64):
@@ -95,8 +125,8 @@ def main():
 
     # refresh-only
     def step_r(*s):
-        s = tuple(ps.refresh_halo(x) for x in s)
-        return tuple(ps.refresh_halo(x) for x in s)
+        s = tuple(ps.refresh_rows(x) for x in s)
+        return tuple(ps.refresh_rows(x) for x in s)
     print("refresh-only x2  :", f"{timed(scan_of(step_r), state, args.steps):.2f} ms/step", flush=True)
 
 

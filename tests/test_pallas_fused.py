@@ -128,14 +128,14 @@ def test_mega_kernel_matches_core_f64():
     step_f = fused.make_fused_matsuno_padded_v3(geom, 300.0,
                                                 dtype=jnp.float64,
                                                 interpret=True)
-    state_f = tuple(ps.pad_state(x) for x in state)
+    state_f = tuple(ps.pad_rows(x) for x in state)
     state_r = state
     for _ in range(2):
         state_f = step_f(*state_f)
         state_r = core25d.matsuno_timestep(*state_r, 300.0, geom,
                                            filter_fn=filt)
     for name, a, b in zip("puvtq", state_r, state_f):
-        np.testing.assert_allclose(np.asarray(ps.core(b)), np.asarray(a),
+        np.testing.assert_allclose(np.asarray(ps.core_rows(b)), np.asarray(a),
                                    rtol=1e-9, atol=1e-9,
                                    err_msg=f"field {name}")
 
@@ -149,11 +149,29 @@ def test_mega_kernel_coriolis_topography():
     state = _initial(geom, seed=9)
     step_f = fused.make_fused_matsuno_padded_v3(
         geom, 300.0, dtype=jnp.float64, coriolis=True, interpret=True)
-    state_f = step_f(*(ps.pad_state(x) for x in state))
+    state_f = step_f(*(ps.pad_rows(x) for x in state))
     state_r = core25d.matsuno_timestep(*state, 300.0, geom, coriolis=True)
     for name, a, b in zip("puvtq", state_r, state_f):
-        np.testing.assert_allclose(np.asarray(ps.core(b)), np.asarray(a),
+        np.testing.assert_allclose(np.asarray(ps.core_rows(b)), np.asarray(a),
                                    rtol=1e-9, atol=1e-9,
+                                   err_msg=f"field {name}")
+
+
+def test_driver_mega_backend():
+    """run_model with backend='mega' (interpret auto-on for CPU) stays
+    finite and close to the XLA backend."""
+    from gcmiipy_tpu.model import driver
+    from gcmiipy_tpu.model.config import ModelConfig
+
+    out_m = driver.run_model(16, 128, 3, 900.0, 3,
+                             config=ModelConfig(backend="mega",
+                                                dtype="float64"))
+    out_x = driver.run_model(16, 128, 3, 900.0, 3,
+                             config=ModelConfig(backend="xla",
+                                                dtype="float64"))
+    for name, a, b in zip("puvtq", out_x[:5], out_m[:5]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-7, atol=1e-7,
                                    err_msg=f"field {name}")
 
 
@@ -165,3 +183,45 @@ def test_wrap_pad_is_periodic():
                                   np.asarray(x)[:, -HALO_J:, :])
     np.testing.assert_array_equal(p[:, HALO_J:-HALO_J, :HALO_X],
                                   np.asarray(x)[:, :, -HALO_X:])
+
+
+def test_mega_step_kernel_matches_core_f64():
+    """v4 whole-step kernel vs the XLA core with the exact-DFT filter."""
+    from gcmiipy_tpu.ops import pallas_stencil as ps
+    from gcmiipy_tpu.ops import polar_filter
+
+    geom = geometry.gen_geometry(16, 128, 3, sig_func=geometry.manabe_sig)
+    mats = polar_filter.build_dft_matrices(geom.width, dtype=np.float64)
+    filt = lambda q, g: polar_filter.arakawa_1977_dft(
+        q, g, mats, precision="highest")
+    state = _initial(geom, seed=12)
+    step_f = fused.make_fused_matsuno_padded_v4(geom, 300.0,
+                                                dtype=jnp.float64,
+                                                interpret=True)
+    state_f = tuple(ps.pad_rows(x) for x in state)
+    state_r = state
+    for _ in range(2):
+        state_f = step_f(*state_f)
+        state_r = core25d.matsuno_timestep(*state_r, 300.0, geom,
+                                           filter_fn=filt)
+    for name, a, b in zip("puvtq", state_r, state_f):
+        np.testing.assert_allclose(np.asarray(ps.core_rows(b)),
+                                   np.asarray(a), rtol=1e-9, atol=1e-9,
+                                   err_msg=f"field {name}")
+
+
+def test_mega_step_kernel_coriolis_topography():
+    from gcmiipy_tpu.ops import pallas_stencil as ps
+    hm = np.zeros((16, 128))
+    hm[4:8, 10:40] = 1500.0
+    geom = geometry.gen_geometry(16, 128, 3, sig_func=geometry.manabe_sig,
+                                 heightmap=hm)
+    state = _initial(geom, seed=13)
+    step_f = fused.make_fused_matsuno_padded_v4(
+        geom, 300.0, dtype=jnp.float64, coriolis=True, interpret=True)
+    state_f = step_f(*(ps.pad_rows(x) for x in state))
+    state_r = core25d.matsuno_timestep(*state, 300.0, geom, coriolis=True)
+    for name, a, b in zip("puvtq", state_r, state_f):
+        np.testing.assert_allclose(np.asarray(ps.core_rows(b)),
+                                   np.asarray(a), rtol=1e-9, atol=1e-9,
+                                   err_msg=f"field {name}")

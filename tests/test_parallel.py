@@ -134,3 +134,33 @@ def test_shard_step_rejects_bad_grid():
     geom2 = geometry.gen_geometry(9, 32, 2)
     with pytest.raises(ValueError):
         shard_step.make_shard_step(mesh, geom2, 300.0)
+
+
+def test_shard_step_fused_matches_single_device():
+    """Lat-ring mega-kernel shard path (interpret mode) vs the XLA core
+    with the f64-exact DFT filter: same operator, roundoff agreement."""
+    from jax.sharding import Mesh
+    from gcmiipy_tpu.ops import polar_filter
+
+    geom = geometry.gen_geometry(64, 128, 2, sig_func=geometry.manabe_sig)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("y",))
+    dt = 300.0
+
+    step_sharded = shard_step.make_shard_step_fused(
+        mesh, geom, dt, dtype=np.float64, interpret=True)
+
+    mats = polar_filter.build_dft_matrices(geom.width, dtype=np.float64)
+    filt = lambda q, g: polar_filter.arakawa_1977_dft(
+        q, g, mats, precision="highest")
+    step_single = jax.jit(lambda *s: core25d.matsuno_timestep(
+        *s, dt, geom, filter_fn=filt))
+
+    state = _initial(geom, seed=11)
+    s_ref, s_shd = state, state
+    for _ in range(2):
+        s_ref = step_single(*s_ref)
+        s_shd = step_sharded(*s_shd)
+    for name, a, b in zip("puvtq", s_ref, s_shd):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-9, atol=1e-9,
+                                   err_msg=f"field {name}")
