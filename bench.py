@@ -20,8 +20,32 @@ import time
 import numpy as np
 
 
+HBM_BYTES_PER_SEC = {
+    # peak HBM bandwidth per chip; v5e (the bench target) = 819 GB/s
+    "v5e": 819e9,
+    "v4": 1228e9,
+    "v5p": 2765e9,
+    "v6e": 1640e9,
+}
+
+
+def step_roofline_seconds(height, width, layers, dtype="float32",
+                          hbm_bps=HBM_BYTES_PER_SEC["v5e"]):
+    """Lower bound on seconds/step from HBM bandwidth alone.
+
+    A Matsuno step must at minimum read the 5 prognostic fields once and
+    write them once (4 3D fields + surface pressure); every intermediate
+    staying in VMEM is what the fused whole-step kernel achieves.  Compute
+    (VPU transcendentals, filter MXU) is not in this bound.
+    """
+    itemsize = np.dtype(dtype).itemsize
+    field_bytes = (4 * layers * height * width + height * width) * itemsize
+    return 2 * field_bytes / hbm_bps
+
+
 def tpu_throughput(height, width, layers, steps, dtype="float32",
-                   polar_filter="fft", backend="fused"):
+                   polar_filter="fft", backend="fused",
+                   filter_precision="fwd_high"):
     import jax
     import jax.numpy as jnp
 
@@ -55,16 +79,19 @@ def tpu_throughput(height, width, layers, steps, dtype="float32",
     dt = 30.0  # small dt: stability irrelevant for throughput, avoids NaN traps
 
     state = (p, u, v, t, q)
-    if backend in ("fused3", "fused4"):
+    if backend in ("fused3", "fused4", "fused4noband"):
         # mega-kernel: polar filter lives inside the kernel (DFT matmuls)
         from gcmiipy_tpu.dynamics import fused
         from gcmiipy_tpu.ops import pallas_stencil as ps
-        make = (fused.make_fused_matsuno_padded_v4 if backend == "fused4"
-                else fused.make_fused_matsuno_padded_v3)
-        step_padded = make(
-            geom, dt, dtype=dtype,
-            filter_precision="default" if polar_filter == "dft_bf16"
-            else "high")
+        prec = ("default" if polar_filter == "dft_bf16"
+                else filter_precision)
+        if backend == "fused3":
+            step_padded = fused.make_fused_matsuno_padded_v3(
+                geom, dt, dtype=dtype, filter_precision=prec)
+        else:
+            step_padded = fused.make_fused_matsuno_padded_v4(
+                geom, dt, dtype=dtype, filter_precision=prec,
+                band_limit=(backend == "fused4"))
         state = tuple(ps.pad_rows(x) for x in state)
 
         def body(carry, _):
@@ -137,17 +164,27 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--baseline-height", type=int, default=128)
     ap.add_argument("--baseline-width", type=int, default=256)
-    ap.add_argument("--backend", default="fused",
-                    choices=["fused", "fused2", "fused3", "fused4", "xla"])
-    ap.add_argument("--filter", default="fft",
+    ap.add_argument("--backend", default="fused4",
+                    choices=["fused", "fused2", "fused3", "fused4",
+                             "fused4noband", "xla"])
+    ap.add_argument("--filter", default="dft",
                     choices=["fft", "dft", "dft_bf16", "matmul"])
+    ap.add_argument("--precision", default="fwd_high",
+                    choices=["highest", "high", "fwd_high", "default"])
+    ap.add_argument("--chip", default="v5e", choices=sorted(HBM_BYTES_PER_SEC))
     args = ap.parse_args()
 
     tpu_pps, sec_per_step = tpu_throughput(
         args.height, args.width, args.layers, args.steps,
-        polar_filter=args.filter, backend=args.backend)
+        polar_filter=args.filter, backend=args.backend,
+        filter_precision=args.precision)
+    roof_s = step_roofline_seconds(args.height, args.width, args.layers,
+                                   hbm_bps=HBM_BYTES_PER_SEC[args.chip])
+    roof_frac = roof_s / sec_per_step
     print(f"# tpu: {tpu_pps:.3e} points/s ({sec_per_step*1e3:.2f} ms/step "
-          f"at {args.layers}x{args.height}x{args.width})", file=sys.stderr)
+          f"at {args.layers}x{args.height}x{args.width}; HBM roofline "
+          f"{roof_s*1e3:.2f} ms -> {100*roof_frac:.1f}% of roofline on "
+          f"{args.chip})", file=sys.stderr)
 
     np_pps = numpy_baseline(args.baseline_height, args.baseline_width,
                             args.layers)
@@ -158,6 +195,11 @@ def main():
         "value": tpu_pps,
         "unit": "points/s",
         "vs_baseline": tpu_pps / np_pps,
+        "ms_per_step": sec_per_step * 1e3,
+        "roofline_frac": roof_frac,
+        "roofline_chip": args.chip,
+        "backend": args.backend,
+        "filter_precision": args.precision,
     }))
 
 

@@ -173,7 +173,7 @@ def make_fused_matsuno_padded_v3(geom, dt, coriolis=False, dtype=jnp.float32,
 
 def make_fused_matsuno_padded_v4(geom, dt, coriolis=False, dtype=jnp.float32,
                                  tile_j=32, filter_precision="high",
-                                 interpret=False):
+                                 interpret=False, band_limit=True):
     """Matsuno step over ROWS-padded arrays: both halves in ONE kernel.
 
     The v3 mega-kernel is DMA/launch-bound; fusing predictor+corrector
@@ -181,13 +181,21 @@ def make_fused_matsuno_padded_v4(geom, dt, coriolis=False, dtype=jnp.float32,
     launches once.  The polar wall is applied in-kernel.  Numerics match
     v3 (same half-step expressions; the starred state is recomputed on
     block halos instead of exchanged through HBM).
+
+    ``band_limit=True`` (default) runs the in-kernel DFT filter
+    band-limited per latitude block (see
+    :func:`pallas_stencil.make_mega_step_kernel`): equatorial blocks do a
+    fraction of the polar blocks' filter MXU work.  ``filter_precision``
+    additionally accepts ``"fwd_high"`` (split-bf16 passes on the forward
+    transform only — near-"high" accuracy at 2/3 of its MXU cost).
     """
     from gcmiipy_tpu.ops.pallas_stencil import (
         make_mega_step_kernel, refresh_rows)
 
     step_kernel = make_mega_step_kernel(
         geom, dt, coriolis=coriolis, dtype=dtype, tile_j=tile_j,
-        filter_precision=filter_precision, interpret=interpret)
+        filter_precision=filter_precision, interpret=interpret,
+        band_limit=band_limit)
 
     def step(p_pad, u_pad, v_pad, t_pad, q_pad):
         out = step_kernel((p_pad, u_pad, v_pad, t_pad, q_pad))
@@ -211,11 +219,19 @@ def make_fused_step(geom, dt, coriolis=False, dtype=jnp.float32,
     ``pipeline``: "v1" = fused half-step kernel with the polar filter as a
     separate XLA op (``filter_fn`` honored); "mega" = one kernel per half
     step with the DFT filter fused in-VMEM (``filter_fn`` ignored,
-    ``filter_precision`` applies).  Grids whose height is not a multiple
-    of 8 or width not a multiple of 128 fall back to the XLA core (same
-    numerics, slower)."""
+    ``filter_precision`` applies); "mega4" = the whole Matsuno step
+    (both halves) in one kernel with the band-limited DFT filter — the
+    fastest verified pipeline.  Grids whose height is not a multiple of 8
+    or width not a multiple of 128 fall back to the XLA core (same
+    numerics, slower) — with a warning, since the perf difference is ~5x."""
     if not fused_grid_supported(geom):
+        import warnings
+
         from gcmiipy_tpu.dynamics import core25d
+        warnings.warn(
+            f"fused backend '{pipeline}' needs 8 | height and 128 | width; "
+            f"grid {geom.height}x{geom.width} falls back to the XLA core "
+            "(same numerics, ~5x slower)", stacklevel=2)
         return lambda *s: core25d.matsuno_timestep(
             *s, dt, geom, filter_fn=filter_fn, coriolis=coriolis)
 
@@ -226,7 +242,12 @@ def make_fused_step(geom, dt, coriolis=False, dtype=jnp.float32,
     from gcmiipy_tpu.ops.pallas_stencil import (
         core as core_of, core_rows, pad_rows, pad_state)
 
-    if pipeline == "mega":
+    if pipeline == "mega4":
+        step_padded = make_fused_matsuno_padded_v4(
+            geom, dt, coriolis=coriolis, dtype=dtype, tile_j=tile_j,
+            filter_precision=filter_precision, interpret=interpret)
+        pad_fn, core_fn = pad_rows, core_rows
+    elif pipeline == "mega":
         step_padded = make_fused_matsuno_padded_v3(
             geom, dt, coriolis=coriolis, dtype=dtype, tile_j=tile_j,
             filter_precision=filter_precision, interpret=interpret)

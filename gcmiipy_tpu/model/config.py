@@ -47,16 +47,31 @@ class ModelConfig:
     #   'xla'   — jnp.roll stencils (always available, any grid/dtype)
     #   'fused' — fused Pallas half-step kernel, filter via polar_filter
     #   'mega'  — one Pallas kernel per half step with the polar filter
-    #             fused in-VMEM (fastest; f32, grid 8|H and 128|W)
+    #             fused in-VMEM (f32, grid 8|H and 128|W)
+    #   'mega4' — the whole Matsuno step in ONE kernel with the
+    #             band-limited in-VMEM DFT filter (fastest; same grid
+    #             constraints as 'mega')
     backend: str = "xla"
-    # Matmul precision of the mega backend's in-kernel DFT filter:
-    # 'high' (3-pass bf16, ~1e-5 filter err), 'highest' (6-pass, f32-exact),
-    # 'default' (1-pass bf16, research mode)
-    filter_precision: str = "high"
+    # Matmul precision of the mega backends' in-kernel DFT filter:
+    # 'high' (split-bf16 fwd+inv, ~1e-5 filter err), 'fwd_high' (split
+    # fwd only — near-'high' accuracy at 2/3 the MXU cost), 'highest'
+    # (f32-exact), 'default' (1-pass bf16, research mode)
+    filter_precision: str = "fwd_high"
 
     # Diagnostics cadence: steps per scan chunk when collecting stats
     stats: bool = True
 
+    # Blow-up guard (reference NaN sweep no_limits_2_5d.py:213 + the GCM-II
+    # pressure scream PA > 1150 mb, port.py:295-310).  When on, the scan
+    # freezes the state at the last good step and reports the step that
+    # first went bad instead of integrating garbage to the end.
+    guard: bool = False
+    guard_p_max: float = 115000.0  # Pa, ptop-less surface pressure
+    guard_p_min: float = 0.0
+
     # Checkpointing
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0  # steps; 0 disables
+
+    # Per-step StepStats as JSON lines (observability.MetricsLogger)
+    metrics_path: Optional[str] = None

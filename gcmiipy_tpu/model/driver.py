@@ -74,12 +74,12 @@ def solar_timestep(t, p, g, dt, utc, geom, config):
 def make_dynamics_step(geom, config, filter_fn):
     """Select the stencil backend: plain XLA, the fused Pallas half-step
     kernel, or the mega-kernel (filter fused in-VMEM)."""
-    if config.backend in ("fused", "mega"):
+    if config.backend in ("fused", "mega", "mega4"):
         from gcmiipy_tpu.dynamics import fused
         return fused.make_fused_step(
             geom, config.dt, coriolis=config.coriolis,
             dtype=jnp.dtype(config.dtype), filter_fn=filter_fn,
-            pipeline="mega" if config.backend == "mega" else "v1",
+            pipeline="v1" if config.backend == "fused" else config.backend,
             filter_precision=config.filter_precision)
     return lambda *s: core25d.matsuno_timestep(
         *s, config.dt, geom, filter_fn=filter_fn, coriolis=config.coriolis)
@@ -112,8 +112,35 @@ def collect_stats(state: ModelState, geom) -> StepStats:
         ke=ke, ate=ate, geo=geo, total_energy=tot)
 
 
+class GuardInfo(NamedTuple):
+    """Result of the blow-up guard: ``ok`` per run, first bad step (-1 when
+    the run stayed healthy)."""
+    ok: jnp.ndarray
+    blown_step: jnp.ndarray
+
+
+def state_bad(state: ModelState, config) -> jnp.ndarray:
+    """NaN sweep over the prognostics + the GCM-II surface-pressure bounds
+    (reference no_limits_2_5d.py:213; port.py:295-310 screams at
+    PA > 1150 mb)."""
+    from gcmiipy_tpu import diagnostics
+    p = state.prog.p
+    bad = diagnostics.any_nan(*state.prog)
+    bad = bad | jnp.any(p > config.guard_p_max)
+    bad = bad | jnp.any(p <= config.guard_p_min)
+    return bad
+
+
 def make_run_fn(geom, config, timesteps):
-    """Build a jitted scan over ``timesteps`` Matsuno steps with donated state."""
+    """Build a jitted scan over ``timesteps`` Matsuno steps with donated state.
+
+    Returns ``run(state) -> (state, stats)``; with ``config.guard`` on,
+    ``run(state) -> (state, stats, GuardInfo)`` — the scan stops advancing
+    (state freezes at the last good step) once a step produces NaNs or an
+    out-of-bounds surface pressure, TPU-natively (no host sync per step:
+    the guard is a scan-carried flag, the reference's per-step host NaN
+    sweep cannot live inside jit).
+    """
     filter_fn = make_filter_fn(config, geom)
     dynamics_step = make_dynamics_step(geom, config, filter_fn)
 
@@ -122,9 +149,31 @@ def make_run_fn(geom, config, timesteps):
         stats = collect_stats(state, geom) if config.stats else None
         return state, stats
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def run(state):
-        return jax.lax.scan(body, state, None, length=timesteps)
+    def guarded_body(carry, step_idx):
+        state, ok, blown = carry
+        new_state = full_timestep(state, geom, config, filter_fn,
+                                  dynamics_step)
+        bad = state_bad(new_state, config)
+        advance = ok & ~bad
+        state = jax.tree.map(
+            lambda old, new: jnp.where(advance, new, old), state, new_state)
+        blown = jnp.where(ok & bad, step_idx, blown)
+        stats = collect_stats(state, geom) if config.stats else None
+        return (state, advance, blown), stats
+
+    if config.guard:
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run(state):
+            carry0 = (state, jnp.asarray(True),
+                      jnp.asarray(-1, dtype=jnp.int32))
+            (state, ok, blown), stats = jax.lax.scan(
+                guarded_body, carry0,
+                jnp.arange(timesteps, dtype=jnp.int32))
+            return state, stats, GuardInfo(ok, blown)
+    else:
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run(state):
+            return jax.lax.scan(body, state, None, length=timesteps)
 
     return run
 
@@ -141,13 +190,37 @@ def gen_model_state(geom, config) -> ModelState:
     return ModelState(prog, ground, jnp.asarray(0.0, dtype))
 
 
+def _stack_stats(chunks):
+    """Concatenate per-chunk stacked StepStats along the step axis."""
+    chunks = [c for c in chunks if c is not None]
+    if not chunks:
+        return None
+    return jax.tree.map(lambda *xs: np.concatenate([np.asarray(x)
+                                                    for x in xs]), *chunks)
+
+
+def _log_metrics(config, stats, n_steps):
+    if not (config.metrics_path and stats is not None):
+        return
+    from gcmiipy_tpu.model.observability import MetricsLogger
+    logger = MetricsLogger(config.metrics_path)
+    host = jax.device_get(stats)
+    for i in range(n_steps):
+        logger.log(i, **{k: getattr(host, k)[i] for k in StepStats._fields})
+    logger.close()
+
+
 def run_model(height, width, layers, dt, timesteps, callback=None,
               config: ModelConfig = None):
     """Reference-compatible entry point (reference no_limits_2_5d.py:220-236).
 
     Returns (p, u, v, t, q, ground, geom, stats).  With ``callback`` the run
     is a Python loop over a jitted single step (callback gets (p,u,v,t,q)
-    per step); otherwise the whole run is one compiled scan.
+    per step); otherwise the whole run is one compiled scan — chunked every
+    ``config.checkpoint_every`` steps when ``config.checkpoint_dir`` is set,
+    with a checkpoint written after each chunk.  With ``config.guard`` on, a
+    run that blows up (NaNs / pressure out of bounds) stops advancing and a
+    RuntimeWarning names the first bad step.
     """
     if config is None:
         config = ModelConfig(height=height, width=width, layers=layers, dt=dt)
@@ -161,9 +234,47 @@ def run_model(height, width, layers, dt, timesteps, callback=None,
     geom = geom.astype(np.dtype(config.dtype))
     state = gen_model_state(geom, config)
 
+    def warn_blown(guard_info, base_step=0):
+        if guard_info is not None and not bool(guard_info.ok):
+            import warnings
+            warnings.warn(
+                "run blew up (NaN or surface pressure out of "
+                f"[{config.guard_p_min}, {config.guard_p_max}] Pa) at step "
+                f"{base_step + int(guard_info.blown_step)}; state frozen at "
+                "the last good step", RuntimeWarning, stacklevel=3)
+            return True
+        return False
+
+    checkpointing = config.checkpoint_dir and config.checkpoint_every > 0
+    if callback is None and checkpointing:
+        from gcmiipy_tpu.model.checkpoint import save_checkpoint
+        every = config.checkpoint_every
+        run_chunk = make_run_fn(geom, config, every)
+        stats_chunks = []
+        done = 0
+        while done < timesteps:
+            n = min(every, timesteps - done)
+            run_n = run_chunk if n == every else make_run_fn(geom, config, n)
+            out = run_n(state)
+            state, stats_c = out[0], out[1]
+            stats_chunks.append(jax.device_get(stats_c)
+                                if config.stats else None)
+            done += n
+            save_checkpoint(config.checkpoint_dir, state, done)
+            if config.guard and warn_blown(out[2], done - n):
+                break
+        stats = _stack_stats(stats_chunks)
+        _log_metrics(config, stats, done)
+        prog, ground = state.prog, state.ground
+        return (prog.p, prog.u, prog.v, prog.t, prog.q, ground, geom, stats)
+
     if callback is None:
         run = make_run_fn(geom, config, timesteps)
-        state, stats = run(state)
+        out = run(state)
+        state, stats = out[0], out[1]
+        if config.guard:
+            warn_blown(out[2])
+        _log_metrics(config, stats, timesteps)
     else:
         filter_fn = make_filter_fn(config, geom)
         dynamics_step = make_dynamics_step(geom, config, filter_fn)

@@ -857,14 +857,27 @@ def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
 # ---------------------------------------------------------------------------
 
 
+FILTER_CHUNK = 128  # banded-filter MXU chunk width (one lane tile)
+
+
 def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
                           tile_j=32, filter_precision="high",
-                          interpret=False):
+                          interpret=False, band_limit=True):
     """Whole Matsuno STEP as one kernel over rows-padded fields.
 
     Returns ``step5(base_pad_5tuple) -> 5 rows-padded outputs`` with stale
     halos (caller runs :func:`refresh_rows`; the polar wall is applied
     in-kernel via a wall-mask row).
+
+    ``band_limit=True`` runs the in-VMEM DFT polar filter band-limited: the
+    factor matrices use the descending-wavenumber banded layout
+    (:func:`polar_filter.build_dft_matrices_banded`), so each latitude
+    block only accumulates the ``FILTER_CHUNK``-wide spectral chunks its
+    rows actually damp (a per-block trip count precomputed from the static
+    Arakawa mask, reference ``low_pass.py:64-71``, rides in SMEM).
+    Equatorial blocks touch 1 MXU chunk where polar blocks need all
+    W//(2*FILTER_CHUNK).  Same damping mask; deviation from the unbanded
+    matmul is float summation order only.
     """
     from gcmiipy_tpu.dynamics import core25d
     from gcmiipy_tpu.ops import polar_filter, stencil
@@ -882,20 +895,45 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
     tj8 = tile_j + 8           # every filter segment (rows [4, tj+12))
     nf = W // 2 + 1
 
-    C_np, S_np, Cw_np, Sw_np = polar_filter.build_dft_matrices(
-        W, dtype=np.dtype(dtype))
-    mask_np = np.pad(np.asarray(geom.polar_mask, dtype),
-                     ((hj, hj), (0, 0)), mode="wrap")          # (Hp, nf)
+    if band_limit:
+        C_np, S_np, Cw_np, Sw_np, nb = polar_filter.build_dft_matrices_banded(
+            W, dtype=np.dtype(dtype), chunk=FILTER_CHUNK)
+        mask_np = np.pad(
+            polar_filter.banded_correction_mask(
+                geom.polar_mask, nb, dtype=np.dtype(dtype)),
+            ((hj, hj), (0, 0)), mode="wrap")                   # (Hp, nb)
+        row_chunks = np.pad(
+            polar_filter.band_chunk_counts(geom.polar_mask,
+                                           chunk=FILTER_CHUNK),
+            (hj, hj), mode="wrap")                             # (Hp,)
+        lo_, hi_ = 4, tile_j + 12
+        nch_np = np.asarray(
+            [row_chunks[b * tile_j + lo_:b * tile_j + hi_].max()
+             for b in range(nj)], np.int32).reshape(nj, 1)
+        ncols = nb
+    else:
+        C_np, S_np, Cw_np, Sw_np = polar_filter.build_dft_matrices(
+            W, dtype=np.dtype(dtype))
+        mask_np = np.pad(np.asarray(geom.polar_mask, dtype),
+                         ((hj, hj), (0, 0)), mode="wrap")      # (Hp, nf)
+        ncols = nf
     # polar wall: 1.0 on every padded row whose GLOBAL row is H-1
     wall_np = np.zeros((H, 1), dtype)
     wall_np[H - 1, 0] = 1.0
     wall_np = np.pad(wall_np, ((hj, hj), (0, 0)), mode="wrap")  # (Hp, 1)
 
-    if filter_precision not in ("highest", "high", "default"):
+    # "fwd_high" splits only the forward transform (see the v3 kernel's
+    # rationale: in the correction form, inverse-matmul bf16 error is
+    # relative to the small damped-band correction, while forward error
+    # injects field-scale noise into the band) — 4 bf16 passes per matrix
+    # pair instead of "high"'s 6, at near-identical total-field error.
+    if filter_precision not in ("highest", "high", "fwd_high", "default"):
         raise ValueError(f"bad filter_precision {filter_precision!r}")
     f32_hw = dtype == jnp.float32 and not interpret
-    split = filter_precision == "high" and f32_hw
-    prec = (jax.lax.Precision.DEFAULT if filter_precision == "default"
+    split_fwd = filter_precision in ("high", "fwd_high") and f32_hw
+    split_inv = filter_precision == "high" and f32_hw
+    prec = (jax.lax.Precision.DEFAULT
+            if filter_precision in ("default", "fwd_high")
             else jax.lax.Precision.HIGHEST)
 
     spec3_in = pl.BlockSpec(
@@ -911,8 +949,11 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
         (pl.Element(L), pl.Element(1), pl.Element(1)), lambda j: (0, 0, 0),
         memory_space=pltpu.VMEM)
     spec_mask = pl.BlockSpec(
-        (pl.Element(tj_in), pl.Element(nf)), lambda j: (j * tile_j, 0),
+        (pl.Element(tj_in), pl.Element(ncols)), lambda j: (j * tile_j, 0),
         memory_space=pltpu.VMEM)
+    # whole-array SMEM (a (1,1) block per grid step violates the TPU
+    # block-divisibility check); the kernel indexes it by program_id
+    spec_nch = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def full_spec(shape):
         return pl.BlockSpec(tuple(pl.Element(s) for s in shape),
@@ -929,11 +970,12 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
         memory_space=pltpu.VMEM)
 
     lo, hi = 4, tile_j + 12    # the shared filter/starred row window
+    R = 2 * L * tj8            # filter matmul batch rows per block
 
     def kernel(p_ref, u_ref, v_ref, t_ref, q_ref,
                dxj_ref, dxh_ref, lat_ref, hm_ref, wall_ref,
                sigt_ref, sigb_ref, sig_ref, dsig_ref,
-               C_ref, S_ref, Cw_ref, Sw_ref, mask_ref,
+               C_ref, S_ref, Cw_ref, Sw_ref, mask_ref, nch_ref,
                pn_ref, un_ref, vn_ref, tn_ref, qn_ref):
         lgeom = dataclasses.replace(
             geom,
@@ -945,11 +987,9 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
             sig=sig_ref[:], dsig=dsig_ref[:],
         )
         keep = 1.0 - wall_ref[:]                       # (tj_in, 1)
-        m2 = jnp.broadcast_to(mask_ref[lo:hi][None], (L, tj8, nf))
-        m2 = jnp.concatenate([m2, m2], axis=0).reshape(2 * L * tj8, nf) - 1.0
 
-        def mm_split(x, M_ref):
-            Mh, Ml = M_ref[0], M_ref[1]
+        def mm_split(x, M):
+            Mh, Ml = M[0], M[1]
             xh = x.astype(jnp.bfloat16).astype(dtype)
             xl = x - xh
             d = lambda a, b: jnp.matmul(
@@ -957,21 +997,54 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
                 preferred_element_type=dtype)
             return d(xh, Mh) + d(xh, Ml) + d(xl, Mh)
 
-        def mm_plain(x, M_ref):
-            return jnp.matmul(x, M_ref[:], precision=prec,
+        def mm_plain(x, M):
+            return jnp.matmul(x, M, precision=prec,
                               preferred_element_type=dtype)
 
-        mm = mm_split if split else mm_plain
+        mm_fwd = mm_split if split_fwd else mm_plain
+        mm_inv = mm_split if split_inv else mm_plain
+
+        def bcast_mask(mrow, ch):
+            # per-row mask slice -> the (field, k, j) row order of X
+            m = jnp.broadcast_to(mrow[None], (2 * L, tj8, ch))
+            return m.reshape(R, ch)
+
+        def correction_banded(X):
+            """Banded filter correction: accumulate FILTER_CHUNK-wide
+            spectral chunks, trip count = this block's damped-band need."""
+            CH = FILTER_CHUNK
+
+            def body(c, Y):
+                s = pl.multiple_of(c * CH, CH)
+                mc = bcast_mask(mask_ref[lo:hi, pl.ds(s, CH)], CH)
+                Cc = (C_ref[:, :, pl.ds(s, CH)] if split_fwd
+                      else C_ref[:, pl.ds(s, CH)])
+                Sc = (S_ref[:, :, pl.ds(s, CH)] if split_fwd
+                      else S_ref[:, pl.ds(s, CH)])
+                a = mm_fwd(X, Cc) * mc
+                b = mm_fwd(X, Sc) * mc
+                Cwc = (Cw_ref[:, pl.ds(s, CH), :] if split_inv
+                       else Cw_ref[pl.ds(s, CH), :])
+                Swc = (Sw_ref[:, pl.ds(s, CH), :] if split_inv
+                       else Sw_ref[pl.ds(s, CH), :])
+                return Y + mm_inv(a, Cwc) + mm_inv(b, Swc)
+
+            return jax.lax.fori_loop(0, nch_ref[pl.program_id(0), 0],
+                                     body, X)
+
+        def correction_full(X):
+            m2 = bcast_mask(mask_ref[lo:hi], ncols) - 1.0
+            a = mm_fwd(X, C_ref[:]) * m2
+            b = mm_fwd(X, S_ref[:]) * m2
+            return X + mm_inv(a, Cw_ref[:]) + mm_inv(b, Sw_ref[:])
 
         def filter_round(spu_raw, pg_phi):
             """Filter both fields on rows [lo, hi); returns (spu_f embedded
             into the full block, pgfu on rows [lo, hi))."""
             X = jnp.concatenate(
                 [spu_raw[:, lo:hi], pg_phi[:, lo:hi]],
-                axis=0).reshape(2 * L * tj8, W)
-            a = mm(X, C_ref) * m2
-            b = mm(X, S_ref) * m2
-            Y = X + mm(a, Cw_ref) + mm(b, Sw_ref)
+                axis=0).reshape(R, W)
+            Y = correction_banded(X) if band_limit else correction_full(X)
             Y = Y.reshape(2 * L, tj8, W)
             spu_f = jnp.concatenate(
                 [spu_raw[:, :lo], Y[:L], spu_raw[:, hi:]], axis=1)
@@ -1019,9 +1092,9 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
         in_specs=[spec2_in] + [spec3_in] * 4
                  + [spec_row, spec_row, spec_row, spec2_in, spec_row]
                  + [spec_k] * 4
-                 + [full_spec((2, W, nf) if split else (W, nf))] * 2
-                 + [full_spec((2, nf, W) if split else (nf, W))] * 2
-                 + [spec_mask],
+                 + [full_spec((2, W, ncols) if split_fwd else (W, ncols))] * 2
+                 + [full_spec((2, ncols, W) if split_inv else (ncols, W))] * 2
+                 + [spec_mask, spec_nch],
         out_specs=(spec2_out, spec3_out, spec3_out, spec3_out, spec3_out),
         out_shape=(shape2_pad, shape3_pad, shape3_pad, shape3_pad,
                    shape3_pad),
@@ -1030,15 +1103,15 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
         interpret=interpret,
     )
 
-    def prep_mat(M):
+    def prep_mat(M, split):
         M = jnp.asarray(M)
         if not split:
             return M
         Mh = M.astype(jnp.bfloat16).astype(dtype)
         return jnp.stack([Mh, M - Mh], axis=0)
 
-    C_c, S_c = prep_mat(C_np), prep_mat(S_np)
-    Cw_c, Sw_c = prep_mat(Cw_np), prep_mat(Sw_np)
+    C_c, S_c = prep_mat(C_np, split_fwd), prep_mat(S_np, split_fwd)
+    Cw_c, Sw_c = prep_mat(Cw_np, split_inv), prep_mat(Sw_np, split_inv)
     dxj_c, dxh_c, lat_c, hm_c, *_ = _geom_row_consts(geom, dtype, hj, 0)
     sigt_c = jnp.asarray(geom.sigt, dtype)
     sigb_c = jnp.asarray(geom.sigb, dtype)
@@ -1046,10 +1119,12 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
     dsig_c = jnp.asarray(geom.dsig, dtype)
     mask_c = jnp.asarray(mask_np)
     wall_c = jnp.asarray(wall_np)
+    nch_c = jnp.asarray(nch_np if band_limit
+                        else np.zeros((nj, 1), np.int32))
 
     def step5(base_pad):
         return call(*base_pad, dxj_c, dxh_c, lat_c, hm_c, wall_c,
                     sigt_c, sigb_c, sig_c, dsig_c,
-                    C_c, S_c, Cw_c, Sw_c, mask_c)
+                    C_c, S_c, Cw_c, Sw_c, mask_c, nch_c)
 
     return step5

@@ -113,6 +113,63 @@ def build_dft_matrices(width, dtype=np.float32):
             Cw.astype(dtype), Sw.astype(dtype))
 
 
+def build_dft_matrices_banded(width, dtype=np.float32, chunk=128):
+    """Real-DFT factor matrices restricted to the dampable band, columns in
+    DESCENDING wavenumber order (n = W//2 ... 1; n = 0 is never damped by
+    the Arakawa mask — reference ``low_pass.py:64-71`` — so it is dropped).
+
+    Because damping at row j hits the contiguous band [n_lo(j), W//2] (the
+    mask is monotone in sin(pi n / W)), the descending layout turns each
+    row's damped band into a PREFIX of the columns.  A kernel can then
+    accumulate the filter correction chunk-by-chunk from column 0 and stop
+    after ``ceil(band/chunk)`` chunks — equatorial latitudes touch one MXU
+    chunk where polar rows need them all.
+
+    Returns ``(C, S, Cw, Sw, nb)``: forward factors (W, nb), inverse
+    factors (nb, W), with nb = ceil((W//2)/chunk)*chunk (zero-padded).
+    Semantics: ``filtered = q + ((q @ C) * mc) @ Cw + ((q @ S) * mc) @ Sw``
+    with ``mc`` from :func:`banded_correction_mask` — identical damping to
+    :func:`arakawa_1977` up to float summation order.
+    """
+    C, S, Cw, Sw = build_dft_matrices(width, dtype=np.float64)
+    nf = width // 2 + 1
+    rev = np.arange(nf - 1, 0, -1)          # n = W//2, ..., 1
+    nb = max(chunk, -(-(nf - 1) // chunk) * chunk)
+    Cb = np.zeros((width, nb))
+    Sb = np.zeros((width, nb))
+    Cwb = np.zeros((nb, width))
+    Swb = np.zeros((nb, width))
+    Cb[:, :nf - 1] = C[:, rev]
+    Sb[:, :nf - 1] = S[:, rev]
+    Cwb[:nf - 1] = Cw[rev]
+    Swb[:nf - 1] = Sw[rev]
+    return (Cb.astype(dtype), Sb.astype(dtype),
+            Cwb.astype(dtype), Swb.astype(dtype), nb)
+
+
+def banded_correction_mask(polar_mask, nb, dtype=np.float32):
+    """(J, nb) correction mask ``mc = mask - 1`` in the descending-n banded
+    column order of :func:`build_dft_matrices_banded` (zero-padded)."""
+    mask = np.asarray(polar_mask, np.float64)
+    nf = mask.shape[-1]
+    out = np.zeros((mask.shape[0], nb))
+    out[:, :nf - 1] = mask[:, :0:-1] - 1.0
+    return out.astype(dtype)
+
+
+def band_chunk_counts(polar_mask, chunk=128):
+    """Per-row number of ``chunk``-wide banded-column chunks that carry any
+    damping (i.e. cover the row's damped band in the descending layout)."""
+    mask = np.asarray(polar_mask, np.float64)
+    nf = mask.shape[-1]
+    mc = mask[:, :0:-1] - 1.0               # (J, nf-1), descending n
+    damped = mc != 0.0
+    # highest damped column index + 1, 0 if none
+    band = np.where(damped.any(axis=-1),
+                    nf - 1 - np.argmax(damped[:, ::-1], axis=-1), 0)
+    return -(-band // chunk).astype(np.int32)
+
+
 def arakawa_1977_dft(q, geom, dft_mats, precision="high",
                      form="correction"):
     """Polar filter via shared-matrix real DFT matmuls (same damping mask

@@ -72,3 +72,83 @@ def test_metrics_logger(tmp_path):
     lines = [json.loads(l) for l in path.read_text().splitlines()]
     assert lines[0]["step"] == 0 and lines[1]["ke"] == 1.6
     assert log.history[0]["u_max"] == 2.0
+
+
+def test_checkpoint_cadence_in_run_model(tmp_path):
+    """checkpoint_every=3 over 7 steps leaves step-3/6/7 checkpoints and
+    matches an unchunked run bit-for-bit."""
+    config = ModelConfig(dtype="float64",
+                         checkpoint_dir=str(tmp_path / "ck"),
+                         checkpoint_every=3)
+    out = driver.run_model(4, 4, 2, 900.0, 7, config=config)
+    steps = sorted(
+        int(n[5:].removesuffix(".npz"))
+        for n in (tmp_path / "ck").iterdir()
+        for n in [n.name] if n.startswith("step_"))
+    assert steps == [3, 6, 7]
+    restored, step = checkpoint.restore_checkpoint(str(tmp_path / "ck"))
+    assert step == 7
+    plain = driver.run_model(4, 4, 2, 900.0, 7,
+                             config=ModelConfig(dtype="float64"))
+    np.testing.assert_array_equal(np.asarray(out[0]),
+                                  np.asarray(restored.prog.p))
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(plain[0]))
+    assert out[7] is not None and len(out[7].ke) == 7  # stats stitched
+
+
+def test_guard_freezes_on_nan():
+    """A seeded-NaN run flags the blow-up and freezes instead of scanning
+    garbage to the end (reference no_limits_2_5d.py:213)."""
+    import warnings
+
+    config = ModelConfig(height=4, width=4, layers=2, dtype="float64",
+                         guard=True)
+    geom = geometry.gen_geometry(4, 4, 2, sig_func=geometry.manabe_sig)
+    state = driver.gen_model_state(geom, config)
+    # poison u so step 0 already produces NaN
+    bad_u = state.prog.u.at[0, 0, 0].set(jnp.nan)
+    state = state._replace(prog=state.prog._replace(u=bad_u))
+    run = driver.make_run_fn(geom, config, 5)
+    out_state, stats, info = run(state)
+    assert not bool(info.ok)
+    assert int(info.blown_step) == 0
+    # frozen at the last good state: p stayed finite
+    assert np.isfinite(np.asarray(out_state.prog.p)).all()
+
+
+def test_guard_pressure_bounds():
+    """The GCM-II pressure scream (port.py:295-310): p above guard_p_max
+    trips the guard even without NaNs."""
+    config = ModelConfig(height=4, width=4, layers=2, dtype="float64",
+                         guard=True, guard_p_max=50.0)  # absurdly tight
+    geom = geometry.gen_geometry(4, 4, 2, sig_func=geometry.manabe_sig)
+    state = driver.gen_model_state(geom, config)
+    run = driver.make_run_fn(geom, config, 3)
+    _, _, info = run(state)
+    assert not bool(info.ok) and int(info.blown_step) == 0
+
+
+def test_guard_clean_run_ok():
+    config = ModelConfig(height=4, width=4, layers=2, dtype="float64",
+                         guard=True)
+    geom = geometry.gen_geometry(4, 4, 2, sig_func=geometry.manabe_sig)
+    state = driver.gen_model_state(geom, config)
+    out_state, stats, info = driver.make_run_fn(geom, config, 4)(state)
+    assert bool(info.ok) and int(info.blown_step) == -1
+    # guarded run advances identically to the unguarded one
+    plain, _ = driver.make_run_fn(
+        geom, ModelConfig(height=4, width=4, layers=2, dtype="float64"),
+        4)(driver.gen_model_state(geom, config))
+    np.testing.assert_array_equal(np.asarray(out_state.prog.p),
+                                  np.asarray(plain.prog.p))
+
+
+def test_run_model_metrics_path(tmp_path):
+    import json
+
+    path = tmp_path / "m.jsonl"
+    config = ModelConfig(dtype="float64", metrics_path=str(path))
+    driver.run_model(4, 4, 2, 900.0, 3, config=config)
+    lines = [json.loads(l) for l in path.read_text().splitlines()]
+    assert [l["step"] for l in lines] == [0, 1, 2]
+    assert all(np.isfinite(l["total_energy"]) for l in lines)

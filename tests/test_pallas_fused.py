@@ -225,3 +225,66 @@ def test_mega_step_kernel_coriolis_topography():
         np.testing.assert_allclose(np.asarray(ps.core_rows(b)),
                                    np.asarray(a), rtol=1e-9, atol=1e-9,
                                    err_msg=f"field {name}")
+
+
+from gcmiipy_tpu.ops.pallas_stencil import FILTER_CHUNK as ps_FILTER_CHUNK
+
+
+def test_mega_step_banded_matches_full():
+    """v4 banded filter (per-block chunked DFT) == unbanded, bit-level in
+    f64 interpret mode up to summation order."""
+    from gcmiipy_tpu.ops import pallas_stencil as ps
+
+    # taller grid so blocks span identity rows (0 chunks) AND polar rows
+    geom = geometry.gen_geometry(64, 128, 3, sig_func=geometry.manabe_sig)
+    state = _initial(geom, seed=14)
+    kw = dict(dtype=jnp.float64, interpret=True, tile_j=8)
+    step_b = fused.make_fused_matsuno_padded_v4(geom, 300.0, band_limit=True,
+                                                **kw)
+    step_f = fused.make_fused_matsuno_padded_v4(geom, 300.0, band_limit=False,
+                                                **kw)
+    sb = sf = tuple(ps.pad_rows(x) for x in state)
+    for _ in range(2):
+        sb, sf = step_b(*sb), step_f(*sf)
+    for name, a, b in zip("puvtq", sf, sb):
+        np.testing.assert_allclose(np.asarray(ps.core_rows(b)),
+                                   np.asarray(ps.core_rows(a)),
+                                   rtol=1e-12, atol=1e-12,
+                                   err_msg=f"field {name}")
+
+
+def test_band_chunk_counts_cover_mask():
+    """Per-row chunk counts cover every damped wavenumber of the mask."""
+    from gcmiipy_tpu.ops import polar_filter as pf
+
+    for H, W in [(64, 128), (24, 36), (512, 1024), (16, 17)]:
+        geom = geometry.gen_geometry(H, W, 3)
+        _, _, _, _, nb = pf.build_dft_matrices_banded(W, dtype=np.float64)
+        mc = pf.banded_correction_mask(geom.polar_mask, nb, dtype=np.float64)
+        ch = pf.band_chunk_counts(geom.polar_mask)
+        for j in range(H):
+            cov = int(ch[j]) * ps_FILTER_CHUNK
+            assert (mc[j, cov:] == 0).all(), (H, W, j)
+        # equatorial rows need fewer chunks than polar rows (visible once
+        # the dampable band W//2 spans multiple chunks)
+        if W // 2 > ps_FILTER_CHUNK:
+            assert ch.min() < ch.max(), (H, W)
+
+
+def test_mega_step_fwd_high_close_to_high():
+    """fwd_high == high in f64/interpret (splits only engage on f32 TPU)."""
+    from gcmiipy_tpu.ops import pallas_stencil as ps
+
+    geom = geometry.gen_geometry(16, 128, 3, sig_func=geometry.manabe_sig)
+    state = _initial(geom, seed=15)
+    sh = fused.make_fused_matsuno_padded_v4(
+        geom, 300.0, dtype=jnp.float64, interpret=True,
+        filter_precision="fwd_high")(*(ps.pad_rows(x) for x in state))
+    sf = fused.make_fused_matsuno_padded_v4(
+        geom, 300.0, dtype=jnp.float64, interpret=True,
+        filter_precision="high")(*(ps.pad_rows(x) for x in state))
+    for name, a, b in zip("puvtq", sf, sh):
+        np.testing.assert_allclose(np.asarray(ps.core_rows(b)),
+                                   np.asarray(ps.core_rows(a)),
+                                   rtol=1e-12, atol=0,
+                                   err_msg=f"field {name}")
