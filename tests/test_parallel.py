@@ -164,3 +164,25 @@ def test_shard_step_fused_matches_single_device():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-9, atol=1e-9,
                                    err_msg=f"field {name}")
+
+
+def test_scaling_harness_runs():
+    """bench_scaling's measurement core runs every path at 1 and 2 devices
+    and emits throughput + efficiency records (the artifact the driver
+    captures on real chips; BASELINE.md scaling target)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import bench_scaling
+
+    results = bench_scaling.run_scaling(
+        16, 64, 2, steps=2, device_counts=[1, 2],
+        paths=["gspmd", "fused", "shard"], dtype="float32")
+    by_path = {}
+    for r in results:
+        assert "error" not in r, r
+        by_path.setdefault(r["path"], []).append(r)
+    for path, recs in by_path.items():
+        assert [r["devices"] for r in recs] == [1, 2]
+        assert all(r["points_per_sec"] > 0 for r in recs)
+        assert recs[0]["efficiency_vs_first"] == 1.0
