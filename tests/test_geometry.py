@@ -87,3 +87,25 @@ def test_hansen_topography():
     # checksums of the decode (verified against the reference decoder)
     np.testing.assert_allclose(topo.sum(), 362425.0)
     np.testing.assert_allclose(land.sum(), 299.925)
+
+
+def test_giss_sige_ladder():
+    """The historical GCM-II 9-layer SIGE table (reference geometry.py:45)
+    builds a real geometry: edges match the table, dsig sums to 1."""
+    geom = geometry.gen_geometry(24, 36, 9, sige_table=geometry.GISS_SIGE,
+                                 ptop=1000.0)
+    np.testing.assert_array_equal(geom.sige[:, 0, 0], geometry.GISS_SIGE)
+    np.testing.assert_allclose(np.sum(geom.dsig), 1.0, rtol=1e-12)
+    assert float(geom.ptop) == 1000.0
+    # midpoints are strictly decreasing and inside (0, 1)
+    sig = geom.sig[:, 0, 0]
+    assert (np.diff(sig) < 0).all() and sig[0] < 1 and sig[-1] > 0
+
+
+def test_sige_table_validation():
+    import pytest
+    with pytest.raises(ValueError):
+        geometry.gen_geometry(8, 8, 3, sige_table=geometry.GISS_SIGE)
+    with pytest.raises(ValueError):
+        geometry.gen_geometry(8, 8, 9,
+                              sige_table=geometry.GISS_SIGE[::-1].copy())

@@ -73,3 +73,51 @@ def test_parity_with_topography():
     s_np, s_jx = _run_pair(geom, steps=3)
     for a, b in zip(s_np, s_jx):
         np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-9)
+
+
+def test_parity_25d_historical_sige_5_steps():
+    """The TRUE GCM-II grid: 24x36x9 on the historical SIGE ladder
+    (reference geometry.py:45) with DT=900 s and PTOP=10 mb
+    (port_BAjal.py:47,58), vs the NumPy oracle."""
+    geom = geometry.gen_geometry(24, 36, 9, sige_table=geometry.GISS_SIGE,
+                                 ptop=1000.0)
+    s_np, s_jx = _run_pair(geom, steps=5, dt=900.0)
+    for name, a, b in zip("puvtq", s_np, s_jx):
+        np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-9,
+                                   err_msg=f"field {name}")
+
+
+def test_historical_sige_blowup_parity():
+    """Long-run semantics parity on the TRUE GCM-II grid, instability
+    included: without the original model's SDRAG/SHAP1D dissipation (stubs
+    in the reference, port.py:539-599) the 24x36x9 DT=900 quiescent run is
+    unstable — and the JAX core's guarded scan flags the blow-up at the
+    SAME step as the NumPy oracle (both trip the 1150 mb pressure scream
+    at step 106)."""
+    from gcmiipy_tpu.model import driver
+    from gcmiipy_tpu.model.config import ModelConfig
+
+    config = ModelConfig(dt=900.0, dtype="float64", guard=True)
+    geom = geometry.gen_geometry(24, 36, 9, sige_table=geometry.GISS_SIGE,
+                                 ptop=1000.0)
+    state = driver.gen_model_state(geom, config)
+    run = driver.make_run_fn(geom, config, 115)
+    out_state, stats, info = run(state)
+    assert not bool(info.ok)
+    jax_blown = int(info.blown_step)
+
+    # oracle with the identical IC and guard criterion
+    prog0 = driver.gen_model_state(geom, config).prog
+    s = tuple(np.asarray(x, np.float64) for x in prog0)
+    oracle_blown = None
+    for i in range(115):
+        s = numpy_ref.matsuno_timestep_np(*s, 900.0, geom)
+        if (np.isnan(s[0]).any() or (s[0] > config.guard_p_max).any()
+                or (s[0] <= config.guard_p_min).any()):
+            oracle_blown = i
+            break
+    assert oracle_blown is not None
+    assert jax_blown == oracle_blown == 106
+    # the guarded state froze at the last good step: still inside bounds
+    p = np.asarray(out_state.prog.p)
+    assert np.isfinite(p).all() and p.max() <= config.guard_p_max
