@@ -49,6 +49,9 @@ def tpu_throughput(height, width, layers, steps, dtype="float32",
     import jax
     import jax.numpy as jnp
 
+    from gcmiipy_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     from gcmiipy_tpu.dynamics import core25d
     from gcmiipy_tpu.grid import geometry
     from gcmiipy_tpu.model import driver as driver_mod

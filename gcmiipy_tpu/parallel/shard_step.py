@@ -83,6 +83,18 @@ def make_shard_step(mesh, geom, dt, coriolis=False, dtype=np.float32):
     if geom.height // ny < HALO or geom.width // nx < HALO:
         raise ValueError(f"shard extents must be >= halo width {HALO}")
 
+    # the per-row circulant filter stack is O(J * I^2) — a memory cliff on
+    # production grids (9x512x1024 would need ~2 TB).  This path is the
+    # small-grid correctness reference; production decomposition is
+    # make_shard_step_fused (lat ring) or the GSPMD path.
+    F_bytes = geom.height * geom.width ** 2 * np.dtype(dtype).itemsize
+    if F_bytes > 2 << 30:
+        raise ValueError(
+            f"circulant filter stack would need {F_bytes / 2**30:.1f} GiB "
+            f"({geom.height}x{geom.width}x{geom.width}); make_shard_step is "
+            "the small-grid correctness reference — use "
+            "make_shard_step_fused or the GSPMD path for this grid")
+
     F = polar_filter.build_filter_matrices(geom, dtype=dtype)  # (J, I, I)
     geom = geom.astype(dtype)
 

@@ -1,0 +1,155 @@
+"""On-TPU kernel parity gate: fused Pallas pipelines vs the XLA core.
+
+Interpret-mode kernel tests (tests/test_pallas_fused.py) cannot catch a
+Mosaic LOWERING regression — this script runs the real compiled kernels on
+TPU hardware and enforces the parity claims that otherwise live only in
+CLAUDE.md prose:
+
+  1. v1 fused half-step kernel + XLA FFT filter vs the XLA core with the
+     same filter: step-0 BITWISE-equal, bounded p-drift after 50 steps.
+  2. v4 whole-step mega kernel (banded in-VMEM DFT filter,
+     filter_precision=highest so both sides use f32-exact matmuls) vs the
+     XLA core with the exact-DFT filter: step-0 within float32 summation
+     noise, bounded 50-step drift.
+
+Exit code 0 = all gates pass; 1 = violation (printed).  The verify lane
+runs this (see .claude/skills/verify/SKILL.md).
+
+Usage: python scripts/tpu_parity.py [--height 128 --width 256 --layers 9]
+                                    [--steps 50]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _initial(geom, dtype, seed=0):
+    import jax.numpy as jnp
+
+    from gcmiipy_tpu import constants
+
+    rng = np.random.default_rng(seed)
+    L, H, W = geom.layers, geom.height, geom.width
+    p = 1e5 * (1 + 1e-3 * rng.standard_normal((H, W)))
+    u = 0.5 * rng.standard_normal((L, H, W))
+    v = 0.5 * rng.standard_normal((L, H, W))
+    tp = p[None] * np.asarray(geom.sig) + float(geom.ptop)
+    t = (300.0 + rng.standard_normal((L, H, W))) \
+        * (constants.P0 / tp) ** constants.kappa
+    q = 1e-5 * (1 + 0.1 * rng.random((L, H, W)))
+    return tuple(jnp.asarray(x, dtype) for x in (p, u, v, t, q))
+
+
+def run_steps(step, state, n):
+    import jax
+
+    s = state
+    for _ in range(n):
+        s = step(*s)
+    return tuple(np.asarray(x) for x in jax.block_until_ready(s))
+
+
+def gate(name, ok, detail):
+    status = "PASS" if ok else "FAIL"
+    print(f"[{status}] {name}: {detail}", flush=True)
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=128)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--layers", type=int, default=9)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--dt", type=float, default=30.0)
+    ap.add_argument("--drift-bound-pa", type=float, default=0.05,
+                    help="max |p_fused - p_xla| after --steps steps")
+    ap.add_argument("--allow-cpu", action="store_true",
+                    help="run in interpret mode off-TPU (smoke only; the "
+                         "gate's purpose is catching Mosaic regressions)")
+    args = ap.parse_args()
+
+    if args.allow_cpu:
+        # the sandbox sitecustomize pre-imports jax on the axon platform;
+        # env alone is too late (CLAUDE.md "Environment gotchas")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.allow_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from gcmiipy_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu and not args.allow_cpu:
+        print("FAIL: needs the TPU backend (or --allow-cpu for smoke)")
+        return 1
+    interpret = not on_tpu
+
+    import jax.numpy as jnp
+
+    from gcmiipy_tpu.dynamics import core25d, fused
+    from gcmiipy_tpu.grid import geometry
+    from gcmiipy_tpu.ops import polar_filter
+
+    geom = geometry.gen_geometry(args.height, args.width, args.layers,
+                                 sig_func=geometry.manabe_sig)
+    geom = geom.astype(np.float32)
+    state = _initial(geom, jnp.float32)
+    all_ok = True
+
+    # ---- gate 1: v1 fused + FFT filter, step-0 bitwise --------------------
+    step_x = jax.jit(lambda *s: core25d.matsuno_timestep(
+        *s, args.dt, geom, filter_fn=polar_filter.arakawa_1977))
+    step_f = jax.jit(fused.make_fused_step(
+        geom, args.dt, dtype=jnp.float32,
+        filter_fn=polar_filter.arakawa_1977, pipeline="v1",
+        interpret=interpret))
+    x1 = run_steps(step_x, state, 1)
+    f1 = run_steps(step_f, state, 1)
+    bit_equal = all((a == b).all() for a, b in zip(x1, f1))
+    maxdiff = max(float(np.max(np.abs(a - b))) for a, b in zip(x1, f1))
+    all_ok &= gate("v1 step-0 bitwise vs XLA", bit_equal,
+                   f"max |diff| = {maxdiff:.3e}")
+
+    xN = run_steps(step_x, state, args.steps)
+    fN = run_steps(step_f, state, args.steps)
+    pdrift = float(np.max(np.abs(xN[0] - fN[0])))
+    all_ok &= gate(f"v1 {args.steps}-step p drift", pdrift < args.drift_bound_pa,
+                   f"{pdrift:.4f} Pa (bound {args.drift_bound_pa})")
+
+    # ---- gate 2: v4 mega kernel (banded DFT, highest) vs XLA + exact DFT --
+    mats = polar_filter.build_dft_matrices(geom.width, dtype=np.float32)
+    filt = lambda q, g: polar_filter.arakawa_1977_dft(
+        q, g, mats, precision=jax.lax.Precision.HIGHEST)
+    step_xd = jax.jit(lambda *s: core25d.matsuno_timestep(
+        *s, args.dt, geom, filter_fn=filt))
+    step_m = jax.jit(fused.make_fused_step(
+        geom, args.dt, dtype=jnp.float32, pipeline="mega4",
+        filter_precision="highest", interpret=interpret))
+    x1 = run_steps(step_xd, state, 1)
+    m1 = run_steps(step_m, state, 1)
+    # same math, different float summation order (banded chunked matmuls)
+    rel = max(float(np.max(np.abs(a - b) / (np.abs(a) + 1e-3)))
+              for a, b in zip(x1, m1))
+    all_ok &= gate("v4 step-0 vs XLA+DFT", rel < 1e-4,
+                   f"max rel diff = {rel:.3e} (bound 1e-4)")
+
+    xN = run_steps(step_xd, state, args.steps)
+    mN = run_steps(step_m, state, args.steps)
+    pdrift = float(np.max(np.abs(xN[0] - mN[0])))
+    all_ok &= gate(f"v4 {args.steps}-step p drift",
+                   pdrift < args.drift_bound_pa,
+                   f"{pdrift:.4f} Pa (bound {args.drift_bound_pa})")
+
+    finite = all(np.isfinite(a).all() for a in mN + fN)
+    all_ok &= gate("all outputs finite", finite, "")
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

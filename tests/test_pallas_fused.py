@@ -6,6 +6,7 @@ mode and must reproduce the XLA core to float64 roundoff.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -157,21 +158,24 @@ def test_mega_kernel_coriolis_topography():
                                    err_msg=f"field {name}")
 
 
-def test_driver_mega_backend():
-    """run_model with backend='mega' (interpret auto-on for CPU) stays
-    finite and close to the XLA backend."""
+@pytest.mark.parametrize("backend", ["mega", "mega4"])
+def test_driver_mega_backend(backend):
+    """run_model with the mega backends (interpret auto-on for CPU)
+    matches the XLA backend tightly when the XLA side uses the same DFT
+    filter (both exact in f64 — only float summation order differs)."""
     from gcmiipy_tpu.model import driver
     from gcmiipy_tpu.model.config import ModelConfig
 
     out_m = driver.run_model(16, 128, 3, 900.0, 3,
-                             config=ModelConfig(backend="mega",
+                             config=ModelConfig(backend=backend,
                                                 dtype="float64"))
     out_x = driver.run_model(16, 128, 3, 900.0, 3,
                              config=ModelConfig(backend="xla",
+                                                polar_filter="dft",
                                                 dtype="float64"))
     for name, a, b in zip("puvtq", out_x[:5], out_m[:5]):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=1e-7, atol=1e-7,
+                                   rtol=1e-9, atol=1e-9,
                                    err_msg=f"field {name}")
 
 
