@@ -11,9 +11,13 @@ Usage: python scripts/perf_probe.py [--height 512 --width 1024 --layers 9]
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed(run, state, steps):
@@ -36,6 +40,12 @@ def main():
     ap.add_argument("--layers", type=int, default=9)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--precision", default="default")
+    ap.add_argument("--v4", action="store_true",
+                    help="probe the v4 whole-step kernel instead of v3: "
+                         "full banded step, zero-chunk filter (same "
+                         "compiled kernel, nch data set to 0 — isolates "
+                         "the filter MXU share with no recompile), and "
+                         "tile_j variants")
     args = ap.parse_args()
 
     import jax
@@ -44,6 +54,8 @@ def main():
     from gcmiipy_tpu.dynamics import fused
     from gcmiipy_tpu.grid import geometry
     from gcmiipy_tpu.ops import pallas_stencil as ps
+    from gcmiipy_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     H, W, L = args.height, args.width, args.layers
     geom = geometry.gen_geometry(H, W, L, sig_func=geometry.manabe_sig)
@@ -69,6 +81,35 @@ def main():
             out, _ = jax.lax.scan(body, s, None, length=args.steps)
             return out
         return run
+
+    if args.v4:
+        from gcmiipy_tpu.ops import polar_filter as pf
+
+        def v4_step(prec, tile_j=32, zero_chunks=False):
+            orig = pf.band_chunk_counts
+            if zero_chunks:
+                pf.band_chunk_counts = lambda mask, chunk=128: np.zeros(
+                    np.asarray(mask).shape[0], np.int32)
+            try:
+                return fused.make_fused_matsuno_padded_v4(
+                    geom, 30.0, filter_precision=prec, tile_j=tile_j)
+            finally:
+                pf.band_chunk_counts = orig
+
+        for name, mk in [
+            ("v4 banded fwd_high", lambda: v4_step("fwd_high")),
+            ("v4 zero-chunk filt", lambda: v4_step("fwd_high",
+                                                   zero_chunks=True)),
+            ("v4 banded tj=64", lambda: v4_step("fwd_high", tile_j=64)),
+            ("v4 banded default", lambda: v4_step("default")),
+        ]:
+            try:
+                ms = timed(scan_of(mk()), state, args.steps)
+                print(f"{name:20s}: {ms:.2f} ms/step", flush=True)
+            except Exception as e:
+                print(f"{name:20s}: failed: {type(e).__name__}: {e}",
+                      flush=True)
+        return
 
     # full v3
     step_full = fused.make_fused_matsuno_padded_v3(
