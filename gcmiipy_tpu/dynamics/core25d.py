@@ -82,12 +82,15 @@ def aflux(pu, pv, geom):
     surface pressure tendency), ``sd`` the vertical sigma mass flux at layer
     bottoms with sd[0] (surface) pinned to zero.
     """
-    dx_j = jnp.asarray(geom.dx_j, pu.dtype)
-    dy = jnp.asarray(geom.dy, pu.dtype)
+    # divisions by static geometry become reciprocal multiplies: TPU f32
+    # division is a multi-pass VPU op, and these reciprocals are O(J)-sized
+    # (vs the O(L*J*I) fields they divide) — same numerics to 1 ulp
+    rdx_j = 1.0 / jnp.asarray(geom.dx_j, pu.dtype)
+    rdy = 1.0 / jnp.asarray(geom.dy, pu.dtype)
     dsig = jnp.asarray(geom.dsig, pu.dtype)
     sigb = jnp.asarray(geom.sigb, pu.dtype)
 
-    conv = ((pu - imj(pu)) / dx_j + (pv - ijm(pv)) / dy) * dsig
+    conv = ((pu - imj(pu)) * rdx_j + (pv - ijm(pv)) * rdy) * dsig
     pit = jnp.sum(conv, axis=0)
 
     # reverse cumulative sum over k: sd[k] = sum_{k' >= k} conv[k']
@@ -100,9 +103,9 @@ def aflux(pu, pv, geom):
 
 def advec_sig(sd, q, geom):
     """Vertical (sigma) advection tendency of ``q`` (reference dynamics.py:49-53)."""
-    dsig = jnp.asarray(geom.dsig, q.dtype)
+    rdsig = 1.0 / jnp.asarray(geom.dsig, q.dtype)
     flux = kmh(q) * sd
-    dq = (flux - kp(flux)) / dsig
+    dq = (flux - kp(flux)) * rdsig
     return -dq
 
 
@@ -113,9 +116,9 @@ def advec_m_pu(p, u, v, pu, pv, geom, coriolis=False):
     ``coriolis=True`` enables the term the reference computes but disables
     (``dynamics.py:82-95``).
     """
-    dx_j = jnp.asarray(geom.dx_j, u.dtype)
-    dx_h = jnp.asarray(geom.dx_h, u.dtype)
-    dy = jnp.asarray(geom.dy, u.dtype)
+    rdx_j = 1.0 / jnp.asarray(geom.dx_j, u.dtype)
+    rdx_h = 1.0 / jnp.asarray(geom.dx_h, u.dtype)
+    rdy = 1.0 / jnp.asarray(geom.dy, u.dtype)
 
     puum = imh(u) * imh(pu)
     puup = ipj(puum)
@@ -141,8 +144,8 @@ def advec_m_pu(p, u, v, pu, pv, geom, coriolis=False):
         coriolis_u = 0.0
         coriolis_v = 0.0
 
-    dut = (puum - puup) / dx_j + (puvm - puvp) / dy + coriolis_u
-    dvt = (pvvm - pvvp) / dy + (pvum - pvup) / dx_h + coriolis_v
+    dut = (puum - puup) * rdx_j + (puvm - puvp) * rdy + coriolis_u
+    dvt = (pvvm - pvvp) * rdy + (pvum - pvup) * rdx_h + coriolis_v
     return dut, dvt
 
 
@@ -211,8 +214,8 @@ def pgf(p, t, geom):
     sigt = jnp.asarray(geom.sigt, t.dtype)
     ptop = jnp.asarray(geom.ptop, t.dtype)
     heightmap = jnp.asarray(geom.heightmap, t.dtype)
-    dx_j = jnp.asarray(geom.dx_j, t.dtype)
-    dy = jnp.asarray(geom.dy, t.dtype)
+    rdx_j = 1.0 / jnp.asarray(geom.dx_j, t.dtype)
+    rdy = 1.0 / jnp.asarray(geom.dy, t.dtype)
 
     tp = p * sig + ptop
     pk = (tp / constants.P0) ** constants.kappa   # == pkdn of the ladder
@@ -230,22 +233,22 @@ def pgf(p, t, geom):
     stp_n = jnp.concatenate([base[None], km(stp)[1:]], axis=0)
     phi = _prefix_sum_k(stp_n)
 
-    phiu = iph(p) * gradi(phi, dx_j)
-    phiv = jph(p) * gradj(phi, dy)
+    phiu = iph(p) * ((ipj(phi) - phi) * rdx_j)
+    phiv = jph(p) * ((ijp(phi) - phi) * rdy)
 
-    pgfu = iph(sp) / iph(rho) * gradi(p, dx_j)
-    pgfv = jph(sp) / jph(rho) * gradj(p, dy)
+    pgfu = iph(sp) / iph(rho) * ((ipj(p) - p) * rdx_j)
+    pgfv = jph(sp) / jph(rho) * ((ijp(p) - p) * rdy)
     return pgfu, pgfv, phiu, phiv
 
 
 def advec_t(pu, pv, t, geom):
     """Flux-form horizontal advection of a cell-centered scalar
     (reference dynamics.py:174-181)."""
-    dx_j = jnp.asarray(geom.dx_j, t.dtype)
-    dy = jnp.asarray(geom.dy, t.dtype)
+    rdx_j = 1.0 / jnp.asarray(geom.dx_j, t.dtype)
+    rdy = 1.0 / jnp.asarray(geom.dy, t.dtype)
     tpu = pu * iph(t)
     tpv = pv * jph(t)
-    return (tpu - imj(tpu)) / dx_j + (tpv - ijm(tpv)) / dy
+    return (tpu - imj(tpu)) * rdx_j + (tpv - ijm(tpv)) * rdy
 
 
 def half_timestep_parts(p, u, v, t, q, sp, su, sv, st, sq, spu, dt, geom,
@@ -277,8 +280,9 @@ def half_timestep_parts(p, u, v, t, q, sp, su, sv, st, sq, spu, dt, geom,
     pv_n = pv - (dvt + dvs + phiv + pgv) * dt
     v_n = un_pv(pv_n, p_n)
 
-    t_n = (t * p - (advec_t(spu, spv, st, geom) + advec_sig(sd, st, geom)) * dt) / p_n
-    q_n = (q * p - (advec_t(spu, spv, sq, geom) + advec_sig(sd, sq, geom)) * dt) / p_n
+    rp_n = 1.0 / p_n
+    t_n = (t * p - (advec_t(spu, spv, st, geom) + advec_sig(sd, st, geom)) * dt) * rp_n
+    q_n = (q * p - (advec_t(spu, spv, sq, geom) + advec_sig(sd, sq, geom)) * dt) * rp_n
 
     return p_n, v_n, t_n, q_n, pu_partial, pgu + phiu
 
@@ -328,8 +332,9 @@ def half_timestep_rest(p, u, v, t, q, sp, su, sv, st, sq, spu, dt, geom,
     pu_partial = pu - (dut + dus) * dt
     pv_partial = pv - (dvt + dvs) * dt
 
-    t_n = (t * p - (advec_t(spu, spv, st, geom) + advec_sig(sd, st, geom)) * dt) / p_n
-    q_n = (q * p - (advec_t(spu, spv, sq, geom) + advec_sig(sd, sq, geom)) * dt) / p_n
+    rp_n = 1.0 / p_n
+    t_n = (t * p - (advec_t(spu, spv, st, geom) + advec_sig(sd, st, geom)) * dt) * rp_n
+    q_n = (q * p - (advec_t(spu, spv, sq, geom) + advec_sig(sd, sq, geom)) * dt) * rp_n
 
     return p_n, pu_partial, pv_partial, t_n, q_n
 
