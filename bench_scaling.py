@@ -8,9 +8,11 @@ parallel execution paths, and the scaling efficiency vs the 1-device run:
 Paths:
   gspmd : NamedSharding-annotated jit over a ('y','x') mesh — XLA inserts
           all collectives (gcmiipy_tpu/parallel/gspmd.py)
-  fused : the production lat-ring shard_map path — mega kernel per shard,
+  fused : lat-ring shard_map path — v3 mega kernel per half step,
           in-kernel DFT polar filter, ppermute halo rings
           (gcmiipy_tpu/parallel/shard_step.py:make_shard_step_fused)
+  fused4: the production lat-ring path — whole-step v4 kernel, banded
+          filter, ONE halo round per step (make_shard_step_fused4)
   shard : explicit-halo shard_map with the XLA core and the exact
           circulant-matmul filter (make_shard_step; small grids only —
           the (J, I, I) filter stack is O(J*I^2) memory)
@@ -106,6 +108,25 @@ def bench_fused_ring(geom, config, n_dev, steps):
     return _timed(_scan_of(step, steps)(state), steps)
 
 
+def bench_fused4_ring(geom, config, n_dev, steps):
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from gcmiipy_tpu.model import driver as driver_mod
+    from gcmiipy_tpu.parallel import shard_step
+
+    mesh = Mesh(jax.devices()[:n_dev], axis_names=("y",))
+    interpret = jax.default_backend() != "tpu"
+    step = shard_step.make_shard_step_fused4(
+        mesh, geom, config.dt, dtype=config.dtype, interpret=interpret)
+    prog = driver_mod.gen_model_state(geom, config).prog
+    surf = NamedSharding(mesh, P("y", None))
+    full = NamedSharding(mesh, P(None, "y", None))
+    state = (jax.device_put(prog.p, surf),) + tuple(
+        jax.device_put(x, full) for x in (prog.u, prog.v, prog.t, prog.q))
+    return _timed(_scan_of(step, steps)(state), steps)
+
+
 def bench_shard(geom, config, n_dev, steps):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -125,7 +146,7 @@ def bench_shard(geom, config, n_dev, steps):
 
 
 PATHS = {"gspmd": bench_gspmd, "fused": bench_fused_ring,
-         "shard": bench_shard}
+         "fused4": bench_fused4_ring, "shard": bench_shard}
 
 
 def run_scaling(height, width, layers, steps, device_counts, paths,
@@ -173,7 +194,7 @@ def main():
     ap.add_argument("--layers", type=int, default=5)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--devices", default="1,2,4,8")
-    ap.add_argument("--paths", default="gspmd,fused")
+    ap.add_argument("--paths", default="gspmd,fused4")
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--out", default="scaling.json")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "native"],

@@ -860,9 +860,33 @@ def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
 FILTER_CHUNK = 128  # banded-filter MXU chunk width (one lane tile)
 
 
+def block_chunk_counts(polar_mask, tile_j, lo, hi, row_offset=0, nj=None,
+                       hj=PHJ, chunk=FILTER_CHUNK):
+    """Per-block banded-filter trip counts for the whole-step kernel.
+
+    Block b filters padded rows [b*tile_j + lo, b*tile_j + hi); padded row
+    r maps to global row (row_offset + r - hj) mod H.  ``row_offset``
+    selects a shard's slice for the lat-ring decomposition."""
+    import numpy as np
+
+    from gcmiipy_tpu.ops import polar_filter
+
+    row_chunks = polar_filter.band_chunk_counts(polar_mask, chunk=chunk)
+    H = row_chunks.shape[0]
+    if nj is None:
+        nj = H // tile_j
+    out = np.empty((nj, 1), np.int32)
+    for b in range(nj):
+        rows = (row_offset - hj + np.arange(b * tile_j + lo,
+                                            b * tile_j + hi)) % H
+        out[b, 0] = row_chunks[rows].max()
+    return out
+
+
 def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
                           tile_j=32, filter_precision="high",
-                          interpret=False, band_limit=True):
+                          interpret=False, band_limit=True,
+                          local_height=None, geom_as_args=False):
     """Whole Matsuno STEP as one kernel over rows-padded fields.
 
     Returns ``step5(base_pad_5tuple) -> 5 rows-padded outputs`` with stale
@@ -878,11 +902,22 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
     Equatorial blocks touch 1 MXU chunk where polar blocks need all
     W//(2*FILTER_CHUNK).  Same damping mask; deviation from the unbanded
     matmul is float summation order only.
+
+    ``local_height``/``geom_as_args``: for shard_map use — the kernel
+    covers ``local_height`` latitude rows and the returned ``step5`` takes
+    the shard's geometry ``(dxj, dxh, lat, heightmap, wall, mask, nch)``
+    as a second argument: the per-row arrays row-padded by PHJ (from the
+    ppermute ring), ``wall`` the (local_height+2*PHJ, 1) polar-wall
+    indicator, ``mask`` the banded correction mask rows, ``nch`` the
+    (nj_local, 1) int32 per-block trip counts
+    (:func:`block_chunk_counts` with the shard's ``row_offset``).
     """
     from gcmiipy_tpu.dynamics import core25d
     from gcmiipy_tpu.ops import polar_filter, stencil
 
     H, W, L = geom.height, geom.width, geom.layers
+    if local_height is not None:
+        H = local_height
     hj = PHJ
     Hp = H + 2 * hj
     dtype = jnp.dtype(dtype)
@@ -895,32 +930,28 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
     tj8 = tile_j + 8           # every filter segment (rows [4, tj+12))
     nf = W // 2 + 1
 
-    if band_limit:
-        C_np, S_np, Cw_np, Sw_np, nb = polar_filter.build_dft_matrices_banded(
-            W, dtype=np.dtype(dtype), chunk=FILTER_CHUNK)
+    # The filter always runs through the chunk-interleaved banded pair
+    # machinery; band_limit only selects per-block trip counts (vs all
+    # chunks everywhere) — one code path, identical math either way.
+    CS_np, CwSw_np, nb = polar_filter.banded_pair_matrices(
+        W, dtype=np.dtype(dtype), chunk=FILTER_CHUNK)
+    n_chunks_full = nb // FILTER_CHUNK
+    ncols = 2 * nb
+    if not geom_as_args:
         mask_np = np.pad(
-            polar_filter.banded_correction_mask(
+            polar_filter.banded_correction_mask_pair(
                 geom.polar_mask, nb, dtype=np.dtype(dtype)),
-            ((hj, hj), (0, 0)), mode="wrap")                   # (Hp, nb)
-        row_chunks = np.pad(
-            polar_filter.band_chunk_counts(geom.polar_mask,
-                                           chunk=FILTER_CHUNK),
-            (hj, hj), mode="wrap")                             # (Hp,)
-        lo_, hi_ = 4, tile_j + 12
-        nch_np = np.asarray(
-            [row_chunks[b * tile_j + lo_:b * tile_j + hi_].max()
-             for b in range(nj)], np.int32).reshape(nj, 1)
-        ncols = nb
-    else:
-        C_np, S_np, Cw_np, Sw_np = polar_filter.build_dft_matrices(
-            W, dtype=np.dtype(dtype))
-        mask_np = np.pad(np.asarray(geom.polar_mask, dtype),
-                         ((hj, hj), (0, 0)), mode="wrap")      # (Hp, nf)
-        ncols = nf
-    # polar wall: 1.0 on every padded row whose GLOBAL row is H-1
-    wall_np = np.zeros((H, 1), dtype)
-    wall_np[H - 1, 0] = 1.0
-    wall_np = np.pad(wall_np, ((hj, hj), (0, 0)), mode="wrap")  # (Hp, 1)
+            ((hj, hj), (0, 0)), mode="wrap")                   # (Hp, 2nb)
+        if band_limit:
+            nch_np = block_chunk_counts(geom.polar_mask, tile_j,
+                                        4, tile_j + 12)
+        else:
+            nch_np = np.full((nj, 1), n_chunks_full, np.int32)
+        # polar wall: 1.0 on every padded row whose GLOBAL row is H-1
+        wall_np = np.zeros((H, 1), dtype)
+        wall_np[H - 1, 0] = 1.0
+        wall_np = np.pad(wall_np, ((hj, hj), (0, 0)),
+                         mode="wrap")                           # (Hp, 1)
 
     # "fwd_high" splits only the forward transform (see the v3 kernel's
     # rationale: in the correction form, inverse-matmul bf16 error is
@@ -975,7 +1006,7 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
     def kernel(p_ref, u_ref, v_ref, t_ref, q_ref,
                dxj_ref, dxh_ref, lat_ref, hm_ref, wall_ref,
                sigt_ref, sigb_ref, sig_ref, dsig_ref,
-               C_ref, S_ref, Cw_ref, Sw_ref, mask_ref, nch_ref,
+               CS_ref, CwSw_ref, mask_ref, nch_ref,
                pn_ref, un_ref, vn_ref, tn_ref, qn_ref):
         lgeom = dataclasses.replace(
             geom,
@@ -988,55 +1019,47 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
         )
         keep = 1.0 - wall_ref[:]                       # (tj_in, 1)
 
-        def mm_split(x, M):
-            Mh, Ml = M[0], M[1]
-            xh = x.astype(jnp.bfloat16).astype(dtype)
-            xl = x - xh
-            d = lambda a, b: jnp.matmul(
-                a, b, precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=dtype)
-            return d(xh, Mh) + d(xh, Ml) + d(xl, Mh)
+        def d(a, b):
+            return jnp.matmul(a, b, precision=jax.lax.Precision.DEFAULT,
+                              preferred_element_type=dtype)
 
         def mm_plain(x, M):
             return jnp.matmul(x, M, precision=prec,
                               preferred_element_type=dtype)
-
-        mm_fwd = mm_split if split_fwd else mm_plain
-        mm_inv = mm_split if split_inv else mm_plain
 
         def bcast_mask(mrow, ch):
             # per-row mask slice -> the (field, k, j) row order of X
             m = jnp.broadcast_to(mrow[None], (2 * L, tj8, ch))
             return m.reshape(R, ch)
 
-        def correction_banded(X):
-            """Banded filter correction: accumulate FILTER_CHUNK-wide
-            spectral chunks, trip count = this block's damped-band need."""
-            CH = FILTER_CHUNK
+        def correction(X):
+            """Filter correction, FILTER_CHUNK-interleaved C|S pairs; trip
+            count = this block's damped-band need (all chunks when
+            band_limit is off).  The hi/lo bf16 split of X is hoisted out
+            of the chunk loop."""
+            CH2 = 2 * FILTER_CHUNK
+            if split_fwd:
+                Xh = X.astype(jnp.bfloat16).astype(dtype)
+                Xl = X - Xh
 
             def body(c, Y):
-                s = pl.multiple_of(c * CH, CH)
-                mc = bcast_mask(mask_ref[lo:hi, pl.ds(s, CH)], CH)
-                Cc = (C_ref[:, :, pl.ds(s, CH)] if split_fwd
-                      else C_ref[:, pl.ds(s, CH)])
-                Sc = (S_ref[:, :, pl.ds(s, CH)] if split_fwd
-                      else S_ref[:, pl.ds(s, CH)])
-                a = mm_fwd(X, Cc) * mc
-                b = mm_fwd(X, Sc) * mc
-                Cwc = (Cw_ref[:, pl.ds(s, CH), :] if split_inv
-                       else Cw_ref[pl.ds(s, CH), :])
-                Swc = (Sw_ref[:, pl.ds(s, CH), :] if split_inv
-                       else Sw_ref[pl.ds(s, CH), :])
-                return Y + mm_inv(a, Cwc) + mm_inv(b, Swc)
+                s = pl.multiple_of(c * CH2, CH2)
+                mcc = bcast_mask(mask_ref[lo:hi, pl.ds(s, CH2)], CH2)
+                if split_fwd:
+                    Mh = CS_ref[0, :, pl.ds(s, CH2)]
+                    Ml = CS_ref[1, :, pl.ds(s, CH2)]
+                    ab = (d(Xh, Mh) + d(Xh, Ml) + d(Xl, Mh)) * mcc
+                else:
+                    ab = mm_plain(X, CS_ref[:, pl.ds(s, CH2)]) * mcc
+                if split_inv:
+                    Wh = CwSw_ref[0, pl.ds(s, CH2), :]
+                    Wl = CwSw_ref[1, pl.ds(s, CH2), :]
+                    abh = ab.astype(jnp.bfloat16).astype(dtype)
+                    return Y + d(abh, Wh) + d(abh, Wl) + d(ab - abh, Wh)
+                return Y + mm_plain(ab, CwSw_ref[pl.ds(s, CH2), :])
 
             return jax.lax.fori_loop(0, nch_ref[pl.program_id(0), 0],
                                      body, X)
-
-        def correction_full(X):
-            m2 = bcast_mask(mask_ref[lo:hi], ncols) - 1.0
-            a = mm_fwd(X, C_ref[:]) * m2
-            b = mm_fwd(X, S_ref[:]) * m2
-            return X + mm_inv(a, Cw_ref[:]) + mm_inv(b, Sw_ref[:])
 
         def filter_round(spu_raw, pg_phi):
             """Filter both fields on rows [lo, hi); returns (spu_f embedded
@@ -1044,7 +1067,7 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
             X = jnp.concatenate(
                 [spu_raw[:, lo:hi], pg_phi[:, lo:hi]],
                 axis=0).reshape(R, W)
-            Y = correction_banded(X) if band_limit else correction_full(X)
+            Y = correction(X)
             Y = Y.reshape(2 * L, tj8, W)
             spu_f = jnp.concatenate(
                 [spu_raw[:, :lo], Y[:L], spu_raw[:, hi:]], axis=1)
@@ -1092,8 +1115,8 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
         in_specs=[spec2_in] + [spec3_in] * 4
                  + [spec_row, spec_row, spec_row, spec2_in, spec_row]
                  + [spec_k] * 4
-                 + [full_spec((2, W, ncols) if split_fwd else (W, ncols))] * 2
-                 + [full_spec((2, ncols, W) if split_inv else (ncols, W))] * 2
+                 + [full_spec((2, W, ncols) if split_fwd else (W, ncols))]
+                 + [full_spec((2, ncols, W) if split_inv else (ncols, W))]
                  + [spec_mask, spec_nch],
         out_specs=(spec2_out, spec3_out, spec3_out, spec3_out, spec3_out),
         out_shape=(shape2_pad, shape3_pad, shape3_pad, shape3_pad,
@@ -1110,21 +1133,29 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
         Mh = M.astype(jnp.bfloat16).astype(dtype)
         return jnp.stack([Mh, M - Mh], axis=0)
 
-    C_c, S_c = prep_mat(C_np, split_fwd), prep_mat(S_np, split_fwd)
-    Cw_c, Sw_c = prep_mat(Cw_np, split_inv), prep_mat(Sw_np, split_inv)
-    dxj_c, dxh_c, lat_c, hm_c, *_ = _geom_row_consts(geom, dtype, hj, 0)
+    CS_c = prep_mat(CS_np, split_fwd)
+    CwSw_c = prep_mat(CwSw_np, split_inv)
     sigt_c = jnp.asarray(geom.sigt, dtype)
     sigb_c = jnp.asarray(geom.sigb, dtype)
     sig_c = jnp.asarray(geom.sig, dtype)
     dsig_c = jnp.asarray(geom.dsig, dtype)
+
+    if geom_as_args:
+        def step5(base_pad, geom_arrays):
+            dxj_a, dxh_a, lat_a, hm_a, wall_a, mask_a, nch_a = geom_arrays
+            return call(*base_pad, dxj_a, dxh_a, lat_a, hm_a, wall_a,
+                        sigt_c, sigb_c, sig_c, dsig_c,
+                        CS_c, CwSw_c, mask_a, nch_a)
+        return step5
+
+    dxj_c, dxh_c, lat_c, hm_c, *_ = _geom_row_consts(geom, dtype, hj, 0)
     mask_c = jnp.asarray(mask_np)
     wall_c = jnp.asarray(wall_np)
-    nch_c = jnp.asarray(nch_np if band_limit
-                        else np.zeros((nj, 1), np.int32))
+    nch_c = jnp.asarray(nch_np)
 
     def step5(base_pad):
         return call(*base_pad, dxj_c, dxh_c, lat_c, hm_c, wall_c,
                     sigt_c, sigb_c, sig_c, dsig_c,
-                    C_c, S_c, Cw_c, Sw_c, mask_c, nch_c)
+                    CS_c, CwSw_c, mask_c, nch_c)
 
     return step5

@@ -157,6 +157,40 @@ def banded_correction_mask(polar_mask, nb, dtype=np.float32):
     return out.astype(dtype)
 
 
+def banded_pair_matrices(width, dtype=np.float32, chunk=128):
+    """Banded DFT factors with C and S chunk-INTERLEAVED into one matrix
+    pair, so a kernel applies both transforms with ONE matmul per chunk.
+
+    Returns ``(CS, CwSw, nb)``: CS is (W, 2*nb) with columns
+    ``[C_chunk0 | S_chunk0 | C_chunk1 | S_chunk1 | ...]`` and CwSw the
+    matching (2*nb, W) inverse rows.  Filtering row x:
+    ``x + ((x @ CS) * mcc) @ CwSw`` with ``mcc`` from
+    :func:`banded_correction_mask_pair` — identical to the separate
+    C/S form up to float summation order.
+    """
+    C, S, Cw, Sw, nb = build_dft_matrices_banded(width, dtype=np.float64,
+                                                 chunk=chunk)
+    nch = nb // chunk
+    W = width
+    CS = np.stack([C.reshape(W, nch, chunk),
+                   S.reshape(W, nch, chunk)], axis=2).reshape(W, 2 * nb)
+    CwSw = np.stack([Cw.reshape(nch, chunk, W),
+                     Sw.reshape(nch, chunk, W)], axis=1).reshape(2 * nb, W)
+    return CS.astype(dtype), CwSw.astype(dtype), nb
+
+
+def banded_correction_mask_pair(polar_mask, nb, dtype=np.float32, chunk=128):
+    """(J, 2*nb) correction mask in the chunk-interleaved layout of
+    :func:`banded_pair_matrices` (each chunk's mask duplicated for the
+    C and S halves)."""
+    mc = banded_correction_mask(polar_mask, nb, dtype=np.float64)
+    J = mc.shape[0]
+    nch = nb // chunk
+    mcc = np.stack([mc.reshape(J, nch, chunk)] * 2,
+                   axis=2).reshape(J, 2 * nb)
+    return mcc.astype(dtype)
+
+
 def band_chunk_counts(polar_mask, chunk=128):
     """Per-row number of ``chunk``-wide banded-column chunks that carry any
     damping (i.e. cover the row's damped band in the descending layout)."""

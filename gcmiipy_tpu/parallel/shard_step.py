@@ -256,6 +256,106 @@ def make_shard_step_fused(mesh, geom, dt, coriolis=False, dtype=np.float32,
     return run
 
 
+def make_shard_step_fused4(mesh, geom, dt, coriolis=False, dtype=np.float32,
+                           tile_j=32, filter_precision="fwd_high",
+                           band_limit=True, interpret=False):
+    """Whole-step (v4) mega kernel under the latitude-ring decomposition.
+
+    Like :func:`make_shard_step_fused` but with BOTH Matsuno halves fused
+    into one kernel per shard: ONE ppermute halo round and one kernel
+    launch per STEP instead of two — the starred state is recomputed on
+    the PHJ-row ring halo exactly as the single-chip v4 kernel recomputes
+    it on block halos.  The banded in-kernel DFT filter stays fully local
+    (zonal rows are shard-complete).  Per-shard geometry (row tables,
+    heightmap, polar wall, banded mask, per-block filter trip counts) is
+    pre-padded host-side — no geometry collectives at runtime.
+
+    Returns a jitted ``step(p, u, v, t, q)`` on arrays sharded P('y').
+    """
+    from gcmiipy_tpu.ops import pallas_stencil as ps, polar_filter
+
+    if "y" not in mesh.axis_names:
+        raise ValueError("mesh must have a 'y' axis")
+    ny = mesh.shape["y"]
+    if geom.height % ny:
+        raise ValueError("height must divide the lat mesh axis")
+    Hl = geom.height // ny
+    if Hl < ps.PHJ:
+        raise ValueError(f"shard rows {Hl} < padded-state halo {ps.PHJ}")
+    H, W = geom.height, geom.width
+    hj = ps.PHJ
+    geom = geom.astype(dtype)
+    tj = tile_j
+    while Hl % tj:
+        tj //= 2
+
+    step_kernel = ps.make_mega_step_kernel(
+        geom, dt, coriolis=coriolis, dtype=jnp.dtype(dtype), tile_j=tj,
+        filter_precision=filter_precision, band_limit=band_limit,
+        interpret=interpret, local_height=Hl, geom_as_args=True)
+
+    # ---- host-side per-shard padded geometry (wrap = the global ring) ----
+    def shard_rows(a2d):
+        """(H, ...) global -> (ny, Hl + 2*hj, ...) per-shard wrap-padded."""
+        a2d = np.asarray(a2d, dtype)
+        ap = np.pad(a2d, ((hj, hj),) + ((0, 0),) * (a2d.ndim - 1),
+                    mode="wrap")
+        return np.stack([ap[s * Hl:s * Hl + Hl + 2 * hj] for s in range(ny)])
+
+    dxj_s = shard_rows(np.asarray(geom.dx_j).reshape(H, 1))
+    dxh_s = shard_rows(np.asarray(geom.dx_h).reshape(H, 1))
+    lat_s = shard_rows(np.asarray(geom.lat).reshape(H, 1))
+    hm_s = shard_rows(geom.heightmap)
+    wall = np.zeros((H, 1), dtype)
+    wall[H - 1, 0] = 1.0
+    wall_s = shard_rows(wall)
+    _, _, nb = polar_filter.banded_pair_matrices(W, dtype=np.dtype(dtype))
+    mask_s = shard_rows(polar_filter.banded_correction_mask_pair(
+        geom.polar_mask, nb, dtype=np.dtype(dtype)))
+    nj_local = Hl // tj
+    if band_limit:
+        nch_s = np.stack([
+            ps.block_chunk_counts(geom.polar_mask, tj, 4, tj + 12,
+                                  row_offset=s * Hl, nj=nj_local)
+            for s in range(ny)])
+    else:
+        nch_s = np.full((ny, nj_local, 1), nb // ps.FILTER_CHUNK, np.int32)
+
+    def body(dxj, dxh, lat, hm, wall, mask, nch, p, u, v, t, q):
+        sq = lambda a: a[0]  # drop the leading shard axis
+        geom_arrays = (sq(dxj), sq(dxh), sq(lat), sq(hm), sq(wall),
+                       sq(mask), sq(nch))
+        ring = lambda x: halo.exchange_axis(x, hj, "y", -2)
+        base = tuple(ring(x) for x in (p, u, v, t, q))
+        out = step_kernel(base, geom_arrays)   # wall applied in-kernel
+        return tuple(ps.core_rows(x) for x in out)
+
+    from jax import shard_map
+
+    surf = P("y", None)
+    full = P(None, "y", None)
+    gspec = P("y", None, None)
+
+    step = shard_map(
+        body, mesh=mesh,
+        in_specs=(gspec,) * 7 + (surf, full, full, full, full),
+        out_specs=(surf, full, full, full, full),
+        check_vma=False,
+    )
+
+    def put(a):
+        return jax.device_put(a, NamedSharding(mesh, gspec))
+
+    consts = tuple(put(a) for a in
+                   (dxj_s, dxh_s, lat_s, hm_s, wall_s, mask_s, nch_s))
+
+    @jax.jit
+    def run(p, u, v, t, q):
+        return step(*consts, p, u, v, t, q)
+
+    return run
+
+
 def shard_prognostics(prog, mesh):
     """Place a PrognosticVars tuple on the mesh."""
     surf = NamedSharding(mesh, P("y", "x"))
