@@ -926,8 +926,14 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
     if tile_j % 8:
         raise ValueError(f"tile_j must be a multiple of 8, got {tile_j}")
     nj = H // tile_j
-    tj_in = tile_j + 2 * hj
-    tj8 = tile_j + 8           # every filter segment (rows [4, tj+12))
+    # Inputs cover core +- 6 rows: the filter window is core +- 4 (corrector
+    # stencil reach 2 + starred reach 2) and the deepest input consumer
+    # (predictor tendencies under the starred window) reaches 2 beyond it.
+    # The state arrays still carry PHJ=8-row halos (output alignment);
+    # reading only +-6 of them cuts 8% of input DMA and per-block compute.
+    IN_OFF = hj - 6            # input block starts at padded j*tile_j + 2
+    tj_in = tile_j + 12
+    tj8 = tile_j + 8           # every filter segment (core rows +- 4)
     nf = W // 2 + 1
 
     # The filter always runs through the chunk-interleaved banded pair
@@ -969,19 +975,19 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
 
     spec3_in = pl.BlockSpec(
         (pl.Element(L), pl.Element(tj_in), pl.Element(W)),
-        lambda j: (0, j * tile_j, 0), memory_space=pltpu.VMEM)
+        lambda j: (0, j * tile_j + IN_OFF, 0), memory_space=pltpu.VMEM)
     spec2_in = pl.BlockSpec(
         (pl.Element(tj_in), pl.Element(W)),
-        lambda j: (j * tile_j, 0), memory_space=pltpu.VMEM)
+        lambda j: (j * tile_j + IN_OFF, 0), memory_space=pltpu.VMEM)
     spec_row = pl.BlockSpec(
-        (pl.Element(tj_in), pl.Element(1)), lambda j: (j * tile_j, 0),
-        memory_space=pltpu.VMEM)
+        (pl.Element(tj_in), pl.Element(1)),
+        lambda j: (j * tile_j + IN_OFF, 0), memory_space=pltpu.VMEM)
     spec_k = pl.BlockSpec(
         (pl.Element(L), pl.Element(1), pl.Element(1)), lambda j: (0, 0, 0),
         memory_space=pltpu.VMEM)
     spec_mask = pl.BlockSpec(
-        (pl.Element(tj_in), pl.Element(ncols)), lambda j: (j * tile_j, 0),
-        memory_space=pltpu.VMEM)
+        (pl.Element(tj_in), pl.Element(ncols)),
+        lambda j: (j * tile_j + IN_OFF, 0), memory_space=pltpu.VMEM)
     # whole-array SMEM (a (1,1) block per grid step violates the TPU
     # block-divisibility check); the kernel indexes it by program_id
     spec_nch = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -1000,7 +1006,7 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
         lambda j: (pl.multiple_of(hj + j * tile_j, 8), 0),
         memory_space=pltpu.VMEM)
 
-    lo, hi = 4, tile_j + 12    # the shared filter/starred row window
+    lo, hi = 4 - IN_OFF, tile_j + 12 - IN_OFF   # filter window (block-rel)
     R = 2 * L * tj8            # filter matmul batch rows per block
 
     def kernel(p_ref, u_ref, v_ref, t_ref, q_ref,
@@ -1099,7 +1105,7 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
         base = (p_ref[:], u_ref[:], v_ref[:], t_ref[:], q_ref[:])
         starred = half(base, base, out_window=False)
         p_n, u_n, v_n, t_n, q_n = half(base, starred, out_window=True)
-        ctr = lambda x: x[..., hj - lo:hj - lo + tile_j, :]
+        ctr = lambda x: x[..., hj - IN_OFF - lo:hj - IN_OFF - lo + tile_j, :]
         pn_ref[:] = ctr(p_n)
         un_ref[:] = ctr(u_n)
         vn_ref[:] = ctr(v_n)
