@@ -218,7 +218,7 @@ def pgf(p, t, geom):
     rdy = 1.0 / jnp.asarray(geom.dy, t.dtype)
 
     tp = p * sig + ptop
-    pk = (tp / constants.P0) ** constants.kappa   # == pkdn of the ladder
+    pk = (tp * (1.0 / constants.P0)) ** constants.kappa  # == pkdn (mul: TPU div is multi-pass)
     tt = t * pk
     rho = tp / (constants.Rd * tt)
     sp = sig * p

@@ -66,7 +66,7 @@ def make_fused_matsuno_padded(geom, dt, coriolis=False, dtype=jnp.float32,
     def half(base_pad, seval_pad):
         sp_p, su_p = seval_pad[0], seval_pad[1]
         # spu core = su * iph(sp): computed straight off the padded arrays
-        spu_core = core_of(su_p) * (core_of(sp_p) + shifted_core(sp_p, 0, 1)) / 2
+        spu_core = core_of(su_p) * (core_of(sp_p) + shifted_core(sp_p, 0, 1)) * 0.5
         spu_pad = pad_state(filter_fn(spu_core, geom))
 
         pn_pad, vn_pad, tn_pad, qn_pad, pup, pg_phi = parts(
@@ -83,7 +83,7 @@ def make_fused_matsuno_padded(geom, dt, coriolis=False, dtype=jnp.float32,
 
         pgfu = filter_fn(pg_phi, geom)
         pu_n = pup - pgfu * dt
-        iph_pn = (core_of(pn_pad) + shifted_core(pn_pad, 0, 1)) / 2
+        iph_pn = (core_of(pn_pad) + shifted_core(pn_pad, 0, 1)) * 0.5
         un_pad = pad_state(pu_n / iph_pn)
         return pn_pad, un_pad, vn_pad, tn_pad, qn_pad
 

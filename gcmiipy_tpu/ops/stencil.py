@@ -51,12 +51,12 @@ def im(q):
 
 def iph_1d(q):
     """q averaged to i+1/2."""
-    return (q + ip(q)) / 2
+    return (q + ip(q)) * 0.5
 
 
 def imh_1d(q):
     """q averaged to i-1/2."""
-    return (q + im(q)) / 2
+    return (q + im(q)) * 0.5
 
 
 def div_1d(q_h, dx):
@@ -119,27 +119,27 @@ def km(q):
 # ---------------------------------------------------------------------------
 
 def kph(q):
-    return (q + kp(q)) / 2
+    return (q + kp(q)) * 0.5
 
 
 def kmh(q):
-    return (q + km(q)) / 2
+    return (q + km(q)) * 0.5
 
 
 def iph(q):
-    return (q + ipj(q)) / 2
+    return (q + ipj(q)) * 0.5
 
 
 def imh(q):
-    return (q + imj(q)) / 2
+    return (q + imj(q)) * 0.5
 
 
 def jph(q):
-    return (q + ijp(q)) / 2
+    return (q + ijp(q)) * 0.5
 
 
 def jmh(q):
-    return (q + ijm(q)) / 2
+    return (q + ijm(q)) * 0.5
 
 
 # ---------------------------------------------------------------------------
