@@ -926,13 +926,13 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
     if tile_j % 8:
         raise ValueError(f"tile_j must be a multiple of 8, got {tile_j}")
     nj = H // tile_j
-    # Inputs cover core +- 6 rows: the filter window is core +- 4 (corrector
-    # stencil reach 2 + starred reach 2) and the deepest input consumer
-    # (predictor tendencies under the starred window) reaches 2 beyond it.
-    # The state arrays still carry PHJ=8-row halos (output alignment);
-    # reading only +-6 of them cuts 8% of input DMA and per-block compute.
-    IN_OFF = hj - 6            # input block starts at padded j*tile_j + 2
-    tj_in = tile_j + 12
+    # Stencil reach would allow reading only core +- 6 rows, but Mosaic
+    # requires input block sublane sizes divisible by 8 (Element offsets
+    # may be unaligned, sizes may not) — tile_j + 12 is rejected on real
+    # TPUs, so inputs read the full +- PHJ = 8 halo.  IN_OFF parametrizes
+    # the window bookkeeping below.
+    IN_OFF = 0
+    tj_in = tile_j + 2 * hj
     tj8 = tile_j + 8           # every filter segment (core rows +- 4)
     nf = W // 2 + 1
 
