@@ -164,7 +164,7 @@ def main():
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--width", type=int, default=1024)
     ap.add_argument("--layers", type=int, default=9)
-    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--baseline-height", type=int, default=128)
     ap.add_argument("--baseline-width", type=int, default=256)
     ap.add_argument("--backend", default="fused4",

@@ -10,7 +10,7 @@ at compile time).
 
 import os
 
-DEFAULT_DIR = os.path.expanduser("~/.cache/gcmiipy_tpu_xla")
+DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".cache", "xla_compile")
 
 
 def enable_compile_cache(path=None, min_compile_secs=5.0):
