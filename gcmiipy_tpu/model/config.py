@@ -33,6 +33,19 @@ class ModelConfig:
     # Coriolis: reference computes but disables (dynamics.py:82).
     coriolis: bool = False
 
+    # Dry convective adjustment after the radiation step (Manabe-Strickler
+    # 6.5 K/km, enthalpy-conserving).  BEYOND-REFERENCE: the reference has
+    # no convection scheme, so its radiative heating eventually
+    # destabilizes long physics runs (see physics/convection.py).
+    convection: bool = False
+
+    # Rayleigh drag e-folding time [s] on the surface layer's momentum
+    # (0 disables).  The GCM-II analog (SDRAG / surface friction) is a
+    # stub in the reference (port.py:539-599); without ANY momentum sink
+    # the radiatively driven circulation grows without bound (KE runaway
+    # measured at ~step 6700 of the physics-on flagship run).
+    drag_tau: float = 0.0
+
     # Radiation parameters of basic_grey_radiation (no_limits_2_5d.py:69)
     t_lw: float = 0.1
     t_sw: float = 0.9

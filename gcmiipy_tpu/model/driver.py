@@ -58,7 +58,9 @@ def make_filter_fn(config, geom):
 
 
 def solar_timestep(t, p, g, dt, utc, geom, config):
-    """Radiative heating step (reference no_limits_2_5d.py:66-75)."""
+    """Radiative heating step (reference no_limits_2_5d.py:66-75), plus
+    optional Manabe-Strickler convective adjustment (beyond-reference —
+    the reference has no convection; physics/convection.py)."""
     sig = jnp.asarray(geom.sig, t.dtype)
     ptop = jnp.asarray(geom.ptop, t.dtype)
     tp = p * sig + ptop
@@ -67,6 +69,10 @@ def solar_timestep(t, p, g, dt, utc, geom, config):
         p, tp, tt, g, config.t_lw, config.t_sw, config.albedo, utc, geom)
     gt_n = g.gt + dt_ground * dt
     tt_n = tt + dt_air * dt
+    if config.convection:
+        from gcmiipy_tpu.physics import convection
+        dsig = jnp.asarray(geom.dsig, t.dtype)
+        tt_n = convection.convective_adjustment(tt_n, tp, p * dsig)
     t_n = thermo.to_potential_temp(tt_n, tp)
     return t_n, GroundVars(gt_n, g.gw, g.snow, g.ice)
 
@@ -97,6 +103,13 @@ def full_timestep(state: ModelState, geom, config, filter_fn,
     prog, g, utc = state
     p, u, v, t, q = prog
     p, u, v, t, q = dynamics_step(p, u, v, t, q)
+    if config.drag_tau > 0:
+        # Rayleigh surface drag (GCM-II SDRAG/friction analog — stubs in
+        # the reference, port.py:539-599); implicit decay is
+        # unconditionally stable
+        f = 1.0 / (1.0 + config.dt / config.drag_tau)
+        u = u.at[0].multiply(f)
+        v = v.at[0].multiply(f)
     if config.physics:
         t, g = solar_timestep(t, p, g, config.dt, utc, geom, config)
     return ModelState(PrognosticVars(p, u, v, t, q), g, utc + config.dt)

@@ -21,7 +21,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_case(physics, steps, dtype="float64"):
+def run_case(physics, steps, dtype="float64", convection=False,
+             drag_tau=0.0):
     import jax
     import numpy as np
 
@@ -29,7 +30,8 @@ def run_case(physics, steps, dtype="float64"):
     from gcmiipy_tpu.model import driver
     from gcmiipy_tpu.model.config import ModelConfig
 
-    config = ModelConfig(dt=1800.0, dtype=dtype, physics=physics, guard=True)
+    config = ModelConfig(dt=1800.0, dtype=dtype, physics=physics, guard=True,
+                         convection=convection, drag_tau=drag_tau)
     geom = geometry.gen_geometry(8, 8, 3, sig_func=geometry.manabe_sig)
     geom = geom.astype(np.dtype(dtype))
     state = driver.gen_model_state(geom, config)
@@ -45,6 +47,8 @@ def run_case(physics, steps, dtype="float64"):
     te = np.asarray(stats.total_energy)
     rec = {
         "physics": physics,
+        "convection": convection,
+        "drag_tau": drag_tau,
         "steps": steps,
         "ok": ok,
         "blown_step": blown,
@@ -92,14 +96,23 @@ def main():
 
     results = []
     failed = False
-    for physics in (False, True):
-        rec = run_case(physics, args.steps, dtype=args.dtype)
+    # (physics, convection, drag_tau): dynamics-only; bare physics (the
+    # reference's effective configuration — known to trip the guard at
+    # ~6308 steps); physics stabilized by the beyond-reference convective
+    # adjustment + 2-day Rayleigh surface drag.
+    for physics, conv, tau in ((False, False, 0.0), (True, False, 0.0),
+                               (True, True, 2 * 86400.0)):
+        rec = run_case(physics, args.steps, dtype=args.dtype,
+                       convection=conv, drag_tau=tau)
         results.append(rec)
-        if physics:
+        if physics and not conv:
             # guard freezes at the last good step; healthy = no NaNs and
             # survived the minimum horizon (see --physics-min-steps)
             healthy = rec["p_finite"] and (
                 rec["ok"] or rec["blown_step"] >= args.physics_min_steps)
+        elif physics:
+            # stabilized physics must go the distance
+            healthy = rec["ok"] and rec["p_finite"]
         else:
             healthy = (rec["ok"] and rec["p_finite"]
                        and rec["energy_max_rel_drift"]
