@@ -1,0 +1,134 @@
+"""Command-line entry point: ``python -m gcmiipy_tpu run [options]``.
+
+The reference exposes its runs as hard-coded ``main()`` bodies
+(``no_limits_2_5d.py:256-268``, ``matsuno_c_grid.py:145``); this CLI is the
+framework-shaped equivalent — every :class:`gcmiipy_tpu.model.config.
+ModelConfig` knob is a flag, and the run summary mirrors the reference's
+STATS prints (u/v extrema + the calc_energy 4-tuple,
+``no_limits_2_5d.py:85-91``).
+
+Examples:
+
+    # the reference main(): 8x8x3, dt=1800 s, 300 model days
+    python -m gcmiipy_tpu run --height 8 --width 8 --layers 3 \
+        --dt 1800 --steps 14400
+
+    # historical GCM-II grid with physics, checkpoints and plots
+    python -m gcmiipy_tpu run --height 24 --width 36 --layers 9 \
+        --giss-sige --dt 900 --steps 960 --physics --convection \
+        --drag-tau 86400 --guard --checkpoint-dir ckpt \
+        --checkpoint-every 240 --plot-dir plots --metrics run.jsonl
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _add_run_args(ap):
+    ap.add_argument("--height", type=int, default=24)
+    ap.add_argument("--width", type=int, default=36)
+    ap.add_argument("--layers", type=int, default=9)
+    ap.add_argument("--dt", type=float, default=1800.0)
+    ap.add_argument("--steps", type=int, default=48)
+    ap.add_argument("--giss-sige", action="store_true",
+                    help="historical GCM-II SIGE vertical ladder + "
+                         "PTOP=10 mb (needs --layers 9)")
+    ap.add_argument("--ptop", type=float, default=0.0,
+                    help="model-top pressure [Pa]")
+    ap.add_argument("--physics", action="store_true",
+                    help="grey-radiation column physics")
+    ap.add_argument("--convection", action="store_true",
+                    help="dry convective adjustment (beyond-reference)")
+    ap.add_argument("--coriolis", action="store_true")
+    ap.add_argument("--drag-tau", type=float, default=0.0,
+                    help="surface Rayleigh-drag e-folding time [s]")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "float64"])
+    ap.add_argument("--backend", default="xla",
+                    choices=["xla", "fused", "mega", "mega4"])
+    ap.add_argument("--polar-filter", default="fft",
+                    choices=["fft", "matmul", "dft"])
+    ap.add_argument("--guard", action="store_true",
+                    help="scan-carried NaN/pressure blow-up guard")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--metrics", default=None,
+                    help="write per-step StepStats as JSON lines here")
+    ap.add_argument("--plot-dir", default=None,
+                    help="write final-state field PNGs + energy trace here")
+    ap.add_argument("--no-stats", action="store_true",
+                    help="skip per-step diagnostics (fastest)")
+
+
+def cmd_run(args):
+    from gcmiipy_tpu.model.config import ModelConfig
+    from gcmiipy_tpu.model.driver import run_model
+
+    config = ModelConfig(
+        dt=args.dt, giss_sige=args.giss_sige, ptop=args.ptop,
+        physics=args.physics, convection=args.convection,
+        coriolis=args.coriolis, drag_tau=args.drag_tau,
+        dtype=args.dtype, backend=args.backend,
+        polar_filter=args.polar_filter, guard=args.guard,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        metrics_path=args.metrics, stats=not args.no_stats)
+
+    p, u, v, t, q, ground, geom, stats = run_model(
+        args.height, args.width, args.layers, args.dt, args.steps,
+        config=config)
+
+    p, u, v = np.asarray(p), np.asarray(u), np.asarray(v)
+    print(f"run: {args.steps} steps of {args.dt:g} s on "
+          f"{args.layers}x{args.height}x{args.width} "
+          f"({args.backend}, {args.dtype})")
+    print(f"  p  [{p.min():.1f}, {p.max():.1f}] Pa   "
+          f"u [{u.min():.3g}, {u.max():.3g}]   "
+          f"v [{v.min():.3g}, {v.max():.3g}] m/s   "
+          f"finite: {all(np.isfinite(x).all() for x in (p, u, v))}")
+    if stats is not None:
+        te = np.asarray(stats.total_energy)
+        drift = float(te[-1] / te[0] - 1.0) if te[0] else float("nan")
+        print(f"  total energy {te[0]:.6e} -> {te[-1]:.6e} J/m^2 "
+              f"(drift {drift:+.3e})")
+    if args.plot_dir:
+        import os
+
+        from gcmiipy_tpu.utils import plotting
+        paths = [plotting.save_field_plot(
+            f, os.path.join(args.plot_dir, f"final_{name}.png"),
+            title=f"{name} after {args.steps} steps")
+            for name, f in (("p", p), ("u", u), ("v", v))]
+        if stats is not None:
+            paths.append(plotting.save_energy_plot(
+                stats, os.path.join(args.plot_dir, "energy.png")))
+        print(f"  plots: {', '.join(paths)}")
+    return 0
+
+
+def cmd_info(_args):
+    import jax
+
+    from gcmiipy_tpu import __name__ as pkg
+    print(f"{pkg}: TPU-native GISS GCM-II style primitive-equation solver")
+    print(f"  jax backend: {jax.default_backend()}, "
+          f"{len(jax.devices())} device(s)")
+    for d in jax.devices():
+        print(f"    {d}")
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="python -m gcmiipy_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    run_p = sub.add_parser("run", help="integrate the 2.5D model")
+    _add_run_args(run_p)
+    sub.add_parser("info", help="show backend/devices")
+    args = ap.parse_args(argv)
+    return {"run": cmd_run, "info": cmd_info}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

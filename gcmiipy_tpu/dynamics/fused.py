@@ -172,7 +172,7 @@ def make_fused_matsuno_padded_v3(geom, dt, coriolis=False, dtype=jnp.float32,
 
 
 def make_fused_matsuno_padded_v4(geom, dt, coriolis=False, dtype=jnp.float32,
-                                 tile_j=32, filter_precision="high",
+                                 tile_j=None, filter_precision="high",
                                  interpret=False, band_limit=True):
     """Matsuno step over ROWS-padded arrays: both halves in ONE kernel.
 
@@ -211,7 +211,7 @@ def fused_grid_supported(geom):
 
 
 def make_fused_step(geom, dt, coriolis=False, dtype=jnp.float32,
-                    filter_fn=None, tile_j=32, tile_i=None, interpret=None,
+                    filter_fn=None, tile_j=None, tile_i=None, interpret=None,
                     pipeline="v1", filter_precision="high"):
     """Drop-in fused replacement for ``core25d.matsuno_timestep``:
     unpadded-state signature, padded-state pipeline inside.
@@ -249,13 +249,15 @@ def make_fused_step(geom, dt, coriolis=False, dtype=jnp.float32,
         pad_fn, core_fn = pad_rows, core_rows
     elif pipeline == "mega":
         step_padded = make_fused_matsuno_padded_v3(
-            geom, dt, coriolis=coriolis, dtype=dtype, tile_j=tile_j,
+            geom, dt, coriolis=coriolis, dtype=dtype,
+            tile_j=32 if tile_j is None else tile_j,
             filter_precision=filter_precision, interpret=interpret)
         pad_fn, core_fn = pad_rows, core_rows
     else:
         step_padded = make_fused_matsuno_padded(
             geom, dt, coriolis=coriolis, dtype=dtype, filter_fn=filter_fn,
-            tile_j=tile_j, tile_i=tile_i, interpret=interpret)
+            tile_j=32 if tile_j is None else tile_j,
+            tile_i=tile_i, interpret=interpret)
         pad_fn, core_fn = pad_state, core_of
 
     def step(p, u, v, t, q):

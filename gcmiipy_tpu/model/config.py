@@ -21,6 +21,11 @@ class ModelConfig:
     width: int = 36
     layers: int = 9
     sig_func: Callable = geometry.manabe_sig
+    # Historical GCM-II vertical ladder (reference geometry.py:45): use the
+    # explicit GISS_SIGE edge table instead of sig_func, with the matching
+    # PTOP = 10 mb (port_BAjal.py:58).  Requires layers=9.
+    giss_sige: bool = False
+    ptop: float = 0.0  # model-top pressure [Pa]; giss_sige forces 1000.0
 
     # Time stepping (reference main(): dt = 30 min, no_limits_2_5d.py:263)
     dt: float = 1800.0

@@ -242,8 +242,14 @@ def run_model(height, width, layers, dt, timesteps, callback=None,
         config = dataclasses.replace(
             config, height=height, width=width, layers=layers, dt=dt)
 
-    geom = geometry.gen_geometry(height, width, layers,
-                                 sig_func=config.sig_func)
+    if config.giss_sige:
+        geom = geometry.gen_geometry(
+            height, width, layers, sige_table=geometry.GISS_SIGE,
+            ptop=config.ptop or 1000.0)
+    else:
+        geom = geometry.gen_geometry(height, width, layers,
+                                     sig_func=config.sig_func,
+                                     ptop=config.ptop)
     geom = geom.astype(np.dtype(config.dtype))
     state = gen_model_state(geom, config)
 

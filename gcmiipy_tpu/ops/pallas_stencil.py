@@ -860,6 +860,17 @@ def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
 FILTER_CHUNK = 128  # banded-filter MXU chunk width (one lane tile)
 
 
+def default_step_tile_j(width):
+    """Default latitude tile for the whole-step kernel.
+
+    tile_j=64 cuts the halo-recompute ratio from 1.5x (tj=32, forced 8-row
+    halos) to 1.25x — measured ~3% faster at 9x512x1024 — but its scoped
+    VMEM need is ~110MB at W=1024 (v5e capacity 128MB), which scales
+    linearly with W: wider grids fall back to 32.  tile_j=128 needs ~199MB
+    (register-spill pathology) and never fits."""
+    return 64 if width <= 1024 else 32
+
+
 def block_chunk_counts(polar_mask, tile_j, lo, hi, row_offset=0, nj=None,
                        hj=PHJ, chunk=FILTER_CHUNK):
     """Per-block banded-filter trip counts for the whole-step kernel.
@@ -884,9 +895,10 @@ def block_chunk_counts(polar_mask, tile_j, lo, hi, row_offset=0, nj=None,
 
 
 def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
-                          tile_j=32, filter_precision="high",
+                          tile_j=None, filter_precision="high",
                           interpret=False, band_limit=True,
-                          local_height=None, geom_as_args=False):
+                          local_height=None, geom_as_args=False,
+                          vmem_limit_bytes=125 * 1024 * 1024):
     """Whole Matsuno STEP as one kernel over rows-padded fields.
 
     Returns ``step5(base_pad_5tuple) -> 5 rows-padded outputs`` with stale
@@ -921,6 +933,8 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
     hj = PHJ
     Hp = H + 2 * hj
     dtype = jnp.dtype(dtype)
+    if tile_j is None:
+        tile_j = default_step_tile_j(W)
     while H % tile_j:
         tile_j //= 2
     if tile_j % 8:
@@ -1127,8 +1141,10 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
         out_specs=(spec2_out, spec3_out, spec3_out, spec3_out, spec3_out),
         out_shape=(shape2_pad, shape3_pad, shape3_pad, shape3_pad,
                    shape3_pad),
+        # v5e has 128MB of VMEM; tile_j=64 needs ~110.1MB of scoped space
+        # (measured: the old 110MB limit missed it by 96KB)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=vmem_limit_bytes),
         interpret=interpret,
     )
 

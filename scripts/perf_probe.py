@@ -83,10 +83,13 @@ def main():
         return run
 
     if args.v4:
+        from gcmiipy_tpu.dynamics import core25d as c25
         from gcmiipy_tpu.ops import polar_filter as pf
 
+        orig_chunks = pf.band_chunk_counts
+        orig_rest, orig_pgf = c25.half_timestep_rest, c25.pgf_forces
+
         def v4_step(prec, tile_j=32, zero_chunks=False):
-            orig = pf.band_chunk_counts
             if zero_chunks:
                 pf.band_chunk_counts = lambda mask, chunk=128: np.zeros(
                     np.asarray(mask).shape[0], np.int32)
@@ -94,13 +97,33 @@ def main():
                 return fused.make_fused_matsuno_padded_v4(
                     geom, 30.0, filter_precision=prec, tile_j=tile_j)
             finally:
-                pf.band_chunk_counts = orig
+                pf.band_chunk_counts = orig_chunks
+
+        # stage isolation: numerically wrong, perf-indicative only.  The
+        # patches must stay active through the first timed run (the kernel
+        # body traces lazily), so restoration happens in the probe loop.
+        def patch(pgf_off, rest_off):
+            if pgf_off:
+                c25.pgf_forces = lambda sp, su, st, geom: (su, st, st)
+            if rest_off:
+                c25.half_timestep_rest = (
+                    lambda p, u, v, t, q, sp, su, sv, st, sq, spu, dt,
+                    geom, coriolis=False: (p + spu[0], u + spu, v, t, q))
 
         for name, mk in [
+            ("v4 banded tj=64", lambda: v4_step("fwd_high", tile_j=64)),
             ("v4 banded fwd_high", lambda: v4_step("fwd_high")),
+            ("v4 noop body", lambda: (patch(True, True),
+                                      v4_step("default",
+                                              zero_chunks=True))[1]),
+            ("v4 pgf-only", lambda: (patch(False, True),
+                                     v4_step("default",
+                                             zero_chunks=True))[1]),
+            ("v4 rest-only", lambda: (patch(True, False),
+                                      v4_step("default",
+                                              zero_chunks=True))[1]),
             ("v4 zero-chunk filt", lambda: v4_step("fwd_high",
                                                    zero_chunks=True)),
-            ("v4 banded tj=64", lambda: v4_step("fwd_high", tile_j=64)),
             ("v4 banded default", lambda: v4_step("default")),
         ]:
             try:
@@ -109,6 +132,8 @@ def main():
             except Exception as e:
                 print(f"{name:20s}: failed: {type(e).__name__}: {e}",
                       flush=True)
+            finally:
+                c25.half_timestep_rest, c25.pgf_forces = orig_rest, orig_pgf
         return
 
     # full v3

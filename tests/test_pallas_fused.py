@@ -292,3 +292,24 @@ def test_mega_step_fwd_high_close_to_high():
                                    np.asarray(ps.core_rows(a)),
                                    rtol=1e-12, atol=0,
                                    err_msg=f"field {name}")
+
+
+def test_mega_step_tile_j_invariance():
+    """v4 output must be a pure blocking choice: any tile_j gives the same
+    fields (banded trip counts only ever add exact-zero damped-band
+    corrections on rows whose mask is 1, so even the filter is row-local)."""
+    from gcmiipy_tpu.ops import pallas_stencil as ps
+
+    geom = geometry.gen_geometry(32, 128, 2, sig_func=geometry.manabe_sig)
+    state = tuple(ps.pad_rows(x) for x in _initial(geom))
+    outs = []
+    for tj in (8, 32):
+        step = fused.make_fused_matsuno_padded_v4(
+            geom, 300.0, dtype=jnp.float64, tile_j=tj, interpret=True)
+        s = state
+        for _ in range(2):
+            s = step(*s)
+        outs.append([np.asarray(x) for x in s])
+    for name, a, b in zip("puvtq", outs[0], outs[1]):
+        np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-12,
+                                   err_msg=f"field {name}")
