@@ -44,6 +44,12 @@ def _add_run_args(ap):
     ap.add_argument("--coriolis", action="store_true")
     ap.add_argument("--drag-tau", type=float, default=0.0,
                     help="surface Rayleigh-drag e-folding time [s]")
+    ap.add_argument("--shapiro-every", type=int, default=0,
+                    help="zonal Shapiro FILTER cadence in steps (0 off)")
+    ap.add_argument("--shapiro-order", type=int, default=8)
+    ap.add_argument("--shapiro-fields", default="p",
+                    choices=["p", "t", "pt"],
+                    help="GCM-II MFILTR selection: p, t, or both")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "float64"])
     ap.add_argument("--backend", default="xla",
@@ -70,6 +76,8 @@ def cmd_run(args):
         dt=args.dt, giss_sige=args.giss_sige, ptop=args.ptop,
         physics=args.physics, convection=args.convection,
         coriolis=args.coriolis, drag_tau=args.drag_tau,
+        shapiro_every=args.shapiro_every, shapiro_order=args.shapiro_order,
+        shapiro_fields=args.shapiro_fields,
         dtype=args.dtype, backend=args.backend,
         polar_filter=args.polar_filter, guard=args.guard,
         checkpoint_dir=args.checkpoint_dir,

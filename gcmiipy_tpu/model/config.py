@@ -51,6 +51,14 @@ class ModelConfig:
     # measured at ~step 6700 of the physics-on flagship run).
     drag_tau: float = 0.0
 
+    # GCM-II FILTER: zonal Shapiro filter on selected prognostics every
+    # ``shapiro_every`` steps (0 disables) — a docstring-only stub in the
+    # reference (port.py:566-590).  ``shapiro_fields``: 'p' | 't' | 'pt'
+    # (the MFILTR=1/2/3 selection); ``shapiro_order`` must be even.
+    shapiro_every: int = 0
+    shapiro_order: int = 8
+    shapiro_fields: str = "p"
+
     # Radiation parameters of basic_grey_radiation (no_limits_2_5d.py:69)
     t_lw: float = 0.1
     t_sw: float = 0.9

@@ -92,11 +92,15 @@ def make_dynamics_step(geom, config, filter_fn):
 
 
 def full_timestep(state: ModelState, geom, config, filter_fn,
-                  dynamics_step=None) -> ModelState:
+                  dynamics_step=None, step_idx=None) -> ModelState:
     """Dynamics step (+ optional physics) (reference no_limits_2_5d.py:79-104).
 
     The reference's physics step is dead code behind an early return
     (``no_limits_2_5d.py:94``); here it is enabled by ``config.physics``.
+
+    ``step_idx``: 0-based step number for cadenced extras (the Shapiro
+    FILTER); when None it is derived from the carried model time (exact
+    while utc stays below 2^24 seconds in f32).
     """
     if dynamics_step is None:
         dynamics_step = make_dynamics_step(geom, config, filter_fn)
@@ -110,6 +114,21 @@ def full_timestep(state: ModelState, geom, config, filter_fn,
         f = 1.0 / (1.0 + config.dt / config.drag_tau)
         u = u.at[0].multiply(f)
         v = v.at[0].multiply(f)
+    if config.shapiro_every > 0:
+        # GCM-II FILTER: zonal Shapiro smoothing of p and/or t every k
+        # steps (stub in the reference, port.py:566-590)
+        from gcmiipy_tpu.ops import shapiro
+
+        if step_idx is None:
+            step_idx = jnp.round(utc / config.dt).astype(jnp.int32)
+        due = (step_idx + 1) % config.shapiro_every == 0
+
+        def smooth(ops):
+            return shapiro.filter_prognostics(
+                *ops, order=config.shapiro_order,
+                fields=config.shapiro_fields)
+
+        p, t = jax.lax.cond(due, smooth, lambda ops: ops, (p, t))
     if config.physics:
         t, g = solar_timestep(t, p, g, config.dt, utc, geom, config)
     return ModelState(PrognosticVars(p, u, v, t, q), g, utc + config.dt)
@@ -163,6 +182,8 @@ def make_run_fn(geom, config, timesteps):
         return state, stats
 
     def guarded_body(carry, step_idx):
+        # NOTE: step_idx restarts per checkpoint chunk — full_timestep's
+        # Shapiro cadence derives the global step from the carried utc
         state, ok, blown = carry
         new_state = full_timestep(state, geom, config, filter_fn,
                                   dynamics_step)
