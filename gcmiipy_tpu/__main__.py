@@ -58,6 +58,9 @@ def _add_run_args(ap):
                     choices=["fft", "matmul", "dft"])
     ap.add_argument("--guard", action="store_true",
                     help="scan-carried NaN/pressure blow-up guard")
+    ap.add_argument("--guard-t-max", type=float, default=0.0,
+                    help="CHECKT potential-temperature ceiling [K] (0 off)")
+    ap.add_argument("--guard-t-min", type=float, default=0.0)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--checkpoint-every", type=int, default=0)
     ap.add_argument("--metrics", default=None,
@@ -80,6 +83,7 @@ def cmd_run(args):
         shapiro_fields=args.shapiro_fields,
         dtype=args.dtype, backend=args.backend,
         polar_filter=args.polar_filter, guard=args.guard,
+        guard_t_max=args.guard_t_max, guard_t_min=args.guard_t_min,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         metrics_path=args.metrics, stats=not args.no_stats)

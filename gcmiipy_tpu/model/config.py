@@ -94,6 +94,10 @@ class ModelConfig:
     guard: bool = False
     guard_p_max: float = 115000.0  # Pa, ptop-less surface pressure
     guard_p_min: float = 0.0
+    # CHECKT analog (stub in the reference, port.py:593-599): potential-
+    # temperature reasonableness bounds [K]; guard_t_max = 0 disables
+    guard_t_max: float = 0.0
+    guard_t_min: float = 0.0
 
     # Checkpointing
     checkpoint_dir: Optional[str] = None

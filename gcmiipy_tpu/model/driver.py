@@ -154,12 +154,18 @@ class GuardInfo(NamedTuple):
 def state_bad(state: ModelState, config) -> jnp.ndarray:
     """NaN sweep over the prognostics + the GCM-II surface-pressure bounds
     (reference no_limits_2_5d.py:213; port.py:295-310 screams at
-    PA > 1150 mb)."""
+    PA > 1150 mb) + the CHECKT temperature-reasonableness check (a
+    docstring-only stub in the reference, port.py:593-599) when
+    ``config.guard_t_max > 0`` — bounds on potential temperature."""
     from gcmiipy_tpu import diagnostics
     p = state.prog.p
     bad = diagnostics.any_nan(*state.prog)
     bad = bad | jnp.any(p > config.guard_p_max)
     bad = bad | jnp.any(p <= config.guard_p_min)
+    if config.guard_t_max > 0:
+        t = state.prog.t
+        bad = bad | jnp.any(t > config.guard_t_max)
+        bad = bad | jnp.any(t <= config.guard_t_min)
     return bad
 
 

@@ -152,3 +152,21 @@ def test_run_model_metrics_path(tmp_path):
     lines = [json.loads(l) for l in path.read_text().splitlines()]
     assert [l["step"] for l in lines] == [0, 1, 2]
     assert all(np.isfinite(l["total_energy"]) for l in lines)
+
+
+def test_guard_temperature_bounds():
+    """CHECKT analog (stub in the reference, port.py:593-599): potential
+    temperature outside [guard_t_min, guard_t_max] trips the guard."""
+    config = ModelConfig(height=4, width=4, layers=2, dtype="float64",
+                         guard=True, guard_t_max=200.0)  # IC is ~360 K pot.T
+    geom = geometry.gen_geometry(4, 4, 2, sig_func=geometry.manabe_sig)
+    state = driver.gen_model_state(geom, config)
+    _, _, info = driver.make_run_fn(geom, config, 3)(state)
+    assert not bool(info.ok) and int(info.blown_step) == 0
+
+    # same run with sane bounds stays clean
+    config2 = ModelConfig(height=4, width=4, layers=2, dtype="float64",
+                          guard=True, guard_t_max=1e4, guard_t_min=1.0)
+    state2 = driver.gen_model_state(geom, config2)
+    _, _, info2 = driver.make_run_fn(geom, config2, 3)(state2)
+    assert bool(info2.ok) and int(info2.blown_step) == -1
