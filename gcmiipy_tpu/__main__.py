@@ -50,14 +50,25 @@ def _add_run_args(ap):
     ap.add_argument("--shapiro-fields", default="p",
                     choices=["p", "t", "pt"],
                     help="GCM-II MFILTR selection: p, t, or both")
+    ap.add_argument("--t-lw", type=float, default=0.1,
+                    help="grey longwave layer transmittance")
+    ap.add_argument("--t-sw", type=float, default=0.9,
+                    help="grey shortwave layer transmittance")
+    ap.add_argument("--albedo", type=float, default=0.3)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "float64"])
     ap.add_argument("--backend", default="xla",
                     choices=["xla", "fused", "mega", "mega4"])
     ap.add_argument("--polar-filter", default="fft",
                     choices=["fft", "matmul", "dft"])
+    ap.add_argument("--filter-precision", default="fwd_high",
+                    choices=["highest", "high", "fwd_high", "default"],
+                    help="mega backends' in-kernel DFT matmul precision")
     ap.add_argument("--guard", action="store_true",
                     help="scan-carried NaN/pressure blow-up guard")
+    ap.add_argument("--guard-p-max", type=float, default=115000.0,
+                    help="surface-pressure scream ceiling [Pa]")
+    ap.add_argument("--guard-p-min", type=float, default=0.0)
     ap.add_argument("--guard-t-max", type=float, default=0.0,
                     help="CHECKT potential-temperature ceiling [K] (0 off)")
     ap.add_argument("--guard-t-min", type=float, default=0.0)
@@ -72,8 +83,15 @@ def _add_run_args(ap):
 
 
 def cmd_run(args):
+    import warnings
+
     from gcmiipy_tpu.model.config import ModelConfig
     from gcmiipy_tpu.model.driver import run_model
+
+    if args.metrics and args.no_stats:
+        print("error: --metrics needs per-step stats; drop --no-stats",
+              file=sys.stderr)
+        return 2
 
     config = ModelConfig(
         dt=args.dt, giss_sige=args.giss_sige, ptop=args.ptop,
@@ -81,16 +99,22 @@ def cmd_run(args):
         coriolis=args.coriolis, drag_tau=args.drag_tau,
         shapiro_every=args.shapiro_every, shapiro_order=args.shapiro_order,
         shapiro_fields=args.shapiro_fields,
+        t_lw=args.t_lw, t_sw=args.t_sw, albedo=args.albedo,
         dtype=args.dtype, backend=args.backend,
-        polar_filter=args.polar_filter, guard=args.guard,
+        polar_filter=args.polar_filter,
+        filter_precision=args.filter_precision, guard=args.guard,
+        guard_p_max=args.guard_p_max, guard_p_min=args.guard_p_min,
         guard_t_max=args.guard_t_max, guard_t_min=args.guard_t_min,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         metrics_path=args.metrics, stats=not args.no_stats)
 
-    p, u, v, t, q, ground, geom, stats = run_model(
-        args.height, args.width, args.layers, args.dt, args.steps,
-        config=config)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always", RuntimeWarning)
+        p, u, v, t, q, ground, geom, stats = run_model(
+            args.height, args.width, args.layers, args.dt, args.steps,
+            config=config)
+    blown = [w for w in caught if "blew up" in str(w.message)]
 
     p, u, v = np.asarray(p), np.asarray(u), np.asarray(v)
     print(f"run: {args.steps} steps of {args.dt:g} s on "
@@ -117,6 +141,9 @@ def cmd_run(args):
             paths.append(plotting.save_energy_plot(
                 stats, os.path.join(args.plot_dir, "energy.png")))
         print(f"  plots: {', '.join(paths)}")
+    if blown:
+        print(f"  BLOWN UP: {blown[0].message}", file=sys.stderr)
+        return 3
     return 0
 
 

@@ -240,7 +240,17 @@ def make_fused_step(geom, dt, coriolis=False, dtype=jnp.float32,
         interpret = jax.default_backend() != "tpu"
 
     from gcmiipy_tpu.ops.pallas_stencil import (
-        core as core_of, core_rows, pad_rows, pad_state)
+        MEGA_MAX_WIDTH, core as core_of, core_rows, pad_rows, pad_state)
+
+    if (pipeline in ("mega", "mega4") and not interpret
+            and geom.width > MEGA_MAX_WIDTH):
+        import warnings
+        warnings.warn(
+            f"backend '{pipeline}' fuses the DFT polar filter in VMEM and "
+            f"tops out at width {MEGA_MAX_WIDTH} (O(W^2) factor matrices); "
+            f"grid {geom.height}x{geom.width} falls back to the v1 fused "
+            "pipeline with the XLA polar filter", stacklevel=2)
+        pipeline = "v1"
 
     if pipeline == "mega4":
         step_padded = make_fused_matsuno_padded_v4(

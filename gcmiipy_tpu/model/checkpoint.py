@@ -34,7 +34,7 @@ def save_checkpoint(path, state: ModelState, step: int, use_orbax=True):
         "t": state.prog.t, "q": state.prog.q,
         "gt": state.ground.gt, "gw": state.ground.gw,
         "snow": state.ground.snow, "ice": state.ground.ice,
-        "utc": state.utc,
+        "utc": state.utc, "step": state.step,
     }
     np.savez(os.path.join(path, f"step_{step:010d}.npz"),
              **{k: np.asarray(v) for k, v in flat.items()})
@@ -65,6 +65,9 @@ def restore_checkpoint(path, step=None, use_orbax=True):
             GroundVars(*(jnp.asarray(data[k])
                          for k in ("gt", "gw", "snow", "ice"))),
             jnp.asarray(data["utc"]),
+            # the filename step is authoritative (also covers checkpoints
+            # written before the counter existed)
+            jnp.asarray(step, jnp.int32),
         )
         return state, step
     import orbax.checkpoint as ocp
@@ -77,5 +80,6 @@ def restore_checkpoint(path, step=None, use_orbax=True):
         PrognosticVars(*(jnp.asarray(prog[k]) for k in PrognosticVars._fields)),
         GroundVars(*(jnp.asarray(ground[k]) for k in GroundVars._fields)),
         jnp.asarray(restored["utc"]),
+        jnp.asarray(step, jnp.int32),
     )
     return state, step

@@ -92,19 +92,17 @@ def make_dynamics_step(geom, config, filter_fn):
 
 
 def full_timestep(state: ModelState, geom, config, filter_fn,
-                  dynamics_step=None, step_idx=None) -> ModelState:
+                  dynamics_step=None) -> ModelState:
     """Dynamics step (+ optional physics) (reference no_limits_2_5d.py:79-104).
 
     The reference's physics step is dead code behind an early return
     (``no_limits_2_5d.py:94``); here it is enabled by ``config.physics``.
-
-    ``step_idx``: 0-based step number for cadenced extras (the Shapiro
-    FILTER); when None it is derived from the carried model time (exact
-    while utc stays below 2^24 seconds in f32).
+    Cadenced extras (the Shapiro FILTER) key off the state's exact integer
+    step counter.
     """
     if dynamics_step is None:
         dynamics_step = make_dynamics_step(geom, config, filter_fn)
-    prog, g, utc = state
+    prog, g, utc, step = state
     p, u, v, t, q = prog
     p, u, v, t, q = dynamics_step(p, u, v, t, q)
     if config.drag_tau > 0:
@@ -119,9 +117,7 @@ def full_timestep(state: ModelState, geom, config, filter_fn,
         # steps (stub in the reference, port.py:566-590)
         from gcmiipy_tpu.ops import shapiro
 
-        if step_idx is None:
-            step_idx = jnp.round(utc / config.dt).astype(jnp.int32)
-        due = (step_idx + 1) % config.shapiro_every == 0
+        due = (step + 1) % config.shapiro_every == 0
 
         def smooth(ops):
             return shapiro.filter_prognostics(
@@ -131,7 +127,8 @@ def full_timestep(state: ModelState, geom, config, filter_fn,
         p, t = jax.lax.cond(due, smooth, lambda ops: ops, (p, t))
     if config.physics:
         t, g = solar_timestep(t, p, g, config.dt, utc, geom, config)
-    return ModelState(PrognosticVars(p, u, v, t, q), g, utc + config.dt)
+    return ModelState(PrognosticVars(p, u, v, t, q), g, utc + config.dt,
+                      step + 1)
 
 
 def collect_stats(state: ModelState, geom) -> StepStats:
@@ -162,10 +159,12 @@ def state_bad(state: ModelState, config) -> jnp.ndarray:
     bad = diagnostics.any_nan(*state.prog)
     bad = bad | jnp.any(p > config.guard_p_max)
     bad = bad | jnp.any(p <= config.guard_p_min)
-    if config.guard_t_max > 0:
+    if config.guard_t_max > 0 or config.guard_t_min > 0:
         t = state.prog.t
-        bad = bad | jnp.any(t > config.guard_t_max)
-        bad = bad | jnp.any(t <= config.guard_t_min)
+        if config.guard_t_max > 0:
+            bad = bad | jnp.any(t > config.guard_t_max)
+        if config.guard_t_min > 0:
+            bad = bad | jnp.any(t <= config.guard_t_min)
     return bad
 
 
@@ -188,8 +187,9 @@ def make_run_fn(geom, config, timesteps):
         return state, stats
 
     def guarded_body(carry, step_idx):
-        # NOTE: step_idx restarts per checkpoint chunk — full_timestep's
-        # Shapiro cadence derives the global step from the carried utc
+        # NOTE: step_idx restarts per checkpoint chunk (used only for the
+        # blown-step report); the Shapiro cadence uses state.step, which
+        # carries globally
         state, ok, blown = carry
         new_state = full_timestep(state, geom, config, filter_fn,
                                   dynamics_step)
@@ -227,7 +227,8 @@ def gen_model_state(geom, config) -> ModelState:
     u = jnp.zeros_like(prog.u)
     v = prog.v.at[0, 0, 0].set(0.1)
     prog = prog._replace(u=u, v=v)
-    return ModelState(prog, ground, jnp.asarray(0.0, dtype))
+    return ModelState(prog, ground, jnp.asarray(0.0, dtype),
+                      jnp.asarray(0, jnp.int32))
 
 
 def _stack_stats(chunks):
@@ -283,9 +284,14 @@ def run_model(height, width, layers, dt, timesteps, callback=None,
     def warn_blown(guard_info, base_step=0):
         if guard_info is not None and not bool(guard_info.ok):
             import warnings
+            causes = ("NaN or surface pressure out of "
+                      f"[{config.guard_p_min}, {config.guard_p_max}] Pa")
+            if config.guard_t_max > 0 or config.guard_t_min > 0:
+                causes += (" or potential temperature out of "
+                           f"[{config.guard_t_min}, "
+                           f"{config.guard_t_max or float('inf')}] K")
             warnings.warn(
-                "run blew up (NaN or surface pressure out of "
-                f"[{config.guard_p_min}, {config.guard_p_max}] Pa) at step "
+                f"run blew up ({causes}) at step "
                 f"{base_step + int(guard_info.blown_step)}; state frozen at "
                 "the last good step", RuntimeWarning, stacklevel=3)
             return True

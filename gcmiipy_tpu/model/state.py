@@ -31,10 +31,13 @@ class GroundVars(NamedTuple):
 
 
 class ModelState(NamedTuple):
-    """Full model state: atmosphere + ground + model time [s]."""
+    """Full model state: atmosphere + ground + model time [s] + exact
+    integer step count (cadenced extras like the Shapiro FILTER key off
+    ``step``, not off float model time, so long f32 runs never drift)."""
     prog: PrognosticVars
     ground: GroundVars
     utc: jnp.ndarray
+    step: jnp.ndarray
 
 
 def gen_initial_conditions(geom, dtype=jnp.float32):

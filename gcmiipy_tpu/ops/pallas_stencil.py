@@ -639,6 +639,11 @@ def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
     hj = PHJ
     Hp = H + 2 * hj
     dtype = jnp.dtype(dtype)
+    if not interpret and W > 1024:  # see MEGA_MAX_WIDTH below
+        raise ValueError(
+            f"the in-VMEM DFT polar filter needs O(W^2) matrices in VMEM; "
+            f"W={W} > 1024 does not fit a v5e — use the 'fused' (v1) "
+            "pipeline or the XLA backend")
     while H % tile_j:
         tile_j //= 2
     if tile_j % 8:
@@ -859,16 +864,22 @@ def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
 
 FILTER_CHUNK = 128  # banded-filter MXU chunk width (one lane tile)
 
+# Widest grid the in-VMEM-filter mega kernels fit on a v5e (128MB VMEM):
+# the DFT factor matrices are O(W^2) and blocks carry full longitude rows.
+# Measured: W=1024 needs ~110MB (tile_j=64); W=2048 needs 172MB at
+# tile_j=32 and cannot fit at any tile.
+MEGA_MAX_WIDTH = 1024
 
-def default_step_tile_j(width):
+
+def default_step_tile_j(width, layers=9):
     """Default latitude tile for the whole-step kernel.
 
     tile_j=64 cuts the halo-recompute ratio from 1.5x (tj=32, forced 8-row
     halos) to 1.25x — measured ~3% faster at 9x512x1024 — but its scoped
-    VMEM need is ~110MB at W=1024 (v5e capacity 128MB), which scales
-    linearly with W: wider grids fall back to 32.  tile_j=128 needs ~199MB
+    VMEM need is ~110MB at that grid (v5e capacity 128MB) and scales with
+    layers * width: bigger L*W falls back to 32.  tile_j=128 needs ~199MB
     (register-spill pathology) and never fits."""
-    return 64 if width <= 1024 else 32
+    return 64 if width * layers <= 1024 * 9 else 32
 
 
 def block_chunk_counts(polar_mask, tile_j, lo, hi, row_offset=0, nj=None,
@@ -933,8 +944,14 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
     hj = PHJ
     Hp = H + 2 * hj
     dtype = jnp.dtype(dtype)
+    if not interpret and W > MEGA_MAX_WIDTH:
+        raise ValueError(
+            f"the in-VMEM DFT polar filter carries O(W^2) factor matrices "
+            f"and full-longitude-row blocks; W={W} > {MEGA_MAX_WIDTH} "
+            "exceeds v5e VMEM (measured: 172MB needed at W=2048, capacity "
+            "128MB) — use the 'fused' (v1) pipeline or the XLA backend")
     if tile_j is None:
-        tile_j = default_step_tile_j(W)
+        tile_j = default_step_tile_j(W, L)
     while H % tile_j:
         tile_j //= 2
     if tile_j % 8:

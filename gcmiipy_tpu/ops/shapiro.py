@@ -45,6 +45,9 @@ def filter_prognostics(p, t, order=8, fields="p"):
     without the reduction-to-sea-level machinery (not in the reference)
     the raw fields are filtered — same role, documented deviation.
     """
+    if fields not in ("p", "t", "pt"):
+        raise ValueError(f"shapiro fields must be 'p', 't' or 'pt', "
+                         f"got {fields!r}")
     if "p" in fields:
         p = shap1d(p, order=order)
     if "t" in fields:

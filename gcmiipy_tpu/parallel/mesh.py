@@ -56,7 +56,7 @@ def state_specs():
     from gcmiipy_tpu.model.state import GroundVars, ModelState, PrognosticVars
     prog = PrognosticVars(p=surf, u=full, v=full, t=full, q=full)
     ground = GroundVars(gt=surf, gw=surf, snow=surf, ice=surf)
-    return ModelState(prog=prog, ground=ground, utc=P())
+    return ModelState(prog=prog, ground=ground, utc=P(), step=P())
 
 
 def state_shardings(mesh):

@@ -47,3 +47,18 @@ def test_config_giss_sige_geometry():
                                geometry.GISS_SIGE)
     assert float(geom.ptop) == 1000.0
     assert np.isfinite(np.asarray(p)).all()
+
+
+def test_cli_blown_run_exit_code(tmp_path, capsys):
+    """A guard-tripped run must exit nonzero (the warning alone is easy to
+    miss in scripts/CI)."""
+    rc = main(["run", "--height", "8", "--width", "16", "--layers", "3",
+               "--dt", "900", "--steps", "3", "--guard",
+               "--guard-t-max", "200"])  # IC potential T ~ 360 K: trips
+    assert rc == 3
+
+
+def test_cli_metrics_requires_stats(capsys):
+    rc = main(["run", "--height", "8", "--width", "16", "--layers", "3",
+               "--steps", "1", "--metrics", "/tmp/x.jsonl", "--no-stats"])
+    assert rc == 2

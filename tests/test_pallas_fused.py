@@ -313,3 +313,20 @@ def test_mega_step_tile_j_invariance():
     for name, a, b in zip("puvtq", outs[0], outs[1]):
         np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-12,
                                    err_msg=f"field {name}")
+
+
+def test_mega_width_capacity_fallback():
+    """W > MEGA_MAX_WIDTH cannot fit the in-VMEM DFT filter on hardware
+    (measured 172MB at W=2048 vs 128MB VMEM): make_fused_step must warn
+    and fall back to the v1 pipeline; the kernel builders must refuse."""
+    from gcmiipy_tpu.ops import pallas_stencil as ps
+
+    geom = geometry.gen_geometry(16, 1152, 2, sig_func=geometry.manabe_sig)
+    with pytest.warns(UserWarning, match="tops out at width"):
+        step = fused.make_fused_step(geom, 300.0, pipeline="mega4",
+                                     interpret=False)
+    assert callable(step)
+    with pytest.raises(ValueError, match="VMEM"):
+        ps.make_mega_step_kernel(geom, 300.0, interpret=False)
+    with pytest.raises(ValueError, match="VMEM"):
+        ps.make_mega_kernel_padded(geom, 300.0, interpret=False)

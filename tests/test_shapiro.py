@@ -56,3 +56,20 @@ def test_driver_shapiro_cadence():
         equal = np.array_equal(np.asarray(p0), np.asarray(p1))
         assert equal == same, f"steps={steps}: expected same={same}"
         assert np.isfinite(np.asarray(p1)).all()
+
+
+def test_shapiro_cadence_exact_across_checkpoint_chunks(tmp_path):
+    """The FILTER cadence keys off the state's integer step counter, so a
+    checkpoint-chunked run (scan restarts every k steps) applies it on
+    exactly the same global steps as an unchunked run."""
+    from gcmiipy_tpu.model.config import ModelConfig
+    from gcmiipy_tpu.model.driver import run_model
+
+    on = dict(shapiro_every=3, shapiro_fields="pt", stats=False,
+              dtype="float64")
+    plain = ModelConfig(**on)
+    chunked = ModelConfig(checkpoint_dir=str(tmp_path), checkpoint_every=2,
+                          **on)
+    p0, *_ = run_model(8, 16, 3, 900.0, 7, config=plain)
+    p1, *_ = run_model(8, 16, 3, 900.0, 7, config=chunked)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
