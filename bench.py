@@ -136,7 +136,7 @@ def tpu_throughput(height, width, layers, steps, dtype="float32",
         times.append(time.perf_counter() - t0)
     best = min(times)
     points = layers * height * width * steps
-    return points / best, best / steps
+    return points / best, best / steps, backend
 
 
 def numpy_baseline(height, width, layers, steps=2):
@@ -183,7 +183,7 @@ def main():
     ap.add_argument("--chip", default="v5e", choices=sorted(HBM_BYTES_PER_SEC))
     args = ap.parse_args()
 
-    tpu_pps, sec_per_step = tpu_throughput(
+    tpu_pps, sec_per_step, backend = tpu_throughput(
         args.height, args.width, args.layers, args.steps,
         polar_filter=args.filter, backend=args.backend,
         filter_precision=args.precision)
@@ -207,7 +207,7 @@ def main():
         "ms_per_step": sec_per_step * 1e3,
         "roofline_frac": roof_frac,
         "roofline_chip": args.chip,
-        "backend": args.backend,
+        "backend": backend,  # effective (wide grids fall back to v1)
         "filter_precision": args.precision,
     }))
 
