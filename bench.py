@@ -81,12 +81,15 @@ def tpu_throughput(height, width, layers, steps, dtype="float32",
 
     dt = 30.0  # small dt: stability irrelevant for throughput, avoids NaN traps
 
+    from gcmiipy_tpu.ops.pallas_stencil import MEGA_MAX_WIDTH
+
     state = (p, u, v, t, q)
-    if backend in ("fused3", "fused4", "fused4noband") and width > 1024:
-        # the in-VMEM-filter kernels top out at W=1024 on a v5e
-        # (pallas_stencil.MEGA_MAX_WIDTH); measure the v1 pipeline instead
-        print(f"# width {width} > 1024: in-VMEM DFT filter does not fit "
-              "VMEM; benching the v1 fused pipeline", file=sys.stderr)
+    if backend in ("fused3", "fused4", "fused4noband") \
+            and width > MEGA_MAX_WIDTH:
+        # the in-VMEM-filter kernels top out at MEGA_MAX_WIDTH on a v5e;
+        # measure the v1 pipeline instead
+        print(f"# width {width} > {MEGA_MAX_WIDTH}: in-VMEM DFT filter does "
+              "not fit VMEM; benching the v1 fused pipeline", file=sys.stderr)
         backend = "fused"
     if backend in ("fused3", "fused4", "fused4noband"):
         # mega-kernel: polar filter lives inside the kernel (DFT matmuls)

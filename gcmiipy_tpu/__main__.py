@@ -92,6 +92,11 @@ def cmd_run(args):
         print("error: --metrics needs per-step stats; drop --no-stats",
               file=sys.stderr)
         return 2
+    if args.shapiro_every > 0 and (args.shapiro_order <= 0
+                                   or args.shapiro_order % 2):
+        print(f"error: --shapiro-order must be a positive even integer "
+              f"(got {args.shapiro_order})", file=sys.stderr)
+        return 2
 
     config = ModelConfig(
         dt=args.dt, giss_sige=args.giss_sige, ptop=args.ptop,
@@ -115,11 +120,25 @@ def cmd_run(args):
             args.height, args.width, args.layers, args.dt, args.steps,
             config=config)
     blown = [w for w in caught if "blew up" in str(w.message)]
+    # re-emit everything else (backend-fallback warnings etc.) — the
+    # capture exists only to detect blow-ups, not to silence the rest
+    effective_backend = args.backend
+    for w in caught:
+        if w in blown:
+            continue
+        msg = str(w.message)
+        print(f"warning: {msg}", file=sys.stderr)
+        if "falls back to the XLA core" in msg:
+            effective_backend = "xla"
+        elif "falls back to the v1 fused" in msg:
+            effective_backend = "fused"
 
     p, u, v = np.asarray(p), np.asarray(u), np.asarray(v)
+    label = (effective_backend if effective_backend == args.backend
+             else f"{args.backend}->{effective_backend}")
     print(f"run: {args.steps} steps of {args.dt:g} s on "
           f"{args.layers}x{args.height}x{args.width} "
-          f"({args.backend}, {args.dtype})")
+          f"({label}, {args.dtype})")
     print(f"  p  [{p.min():.1f}, {p.max():.1f}] Pa   "
           f"u [{u.min():.3g}, {u.max():.3g}]   "
           f"v [{v.min():.3g}, {v.max():.3g}] m/s   "

@@ -312,8 +312,13 @@ def run_model(height, width, layers, dt, timesteps, callback=None,
             stats_chunks.append(jax.device_get(stats_c)
                                 if config.stats else None)
             done += n
-            save_checkpoint(config.checkpoint_dir, state, done)
-            if config.guard and warn_blown(out[2], done - n):
+            # on a blown chunk the state froze at the last good step — stamp
+            # the checkpoint with THAT step so restore_checkpoint's
+            # filename-derived step counter matches the frozen state
+            blown = config.guard and not bool(out[2].ok)
+            good_step = done - n + int(out[2].blown_step) if blown else done
+            save_checkpoint(config.checkpoint_dir, state, good_step)
+            if blown and warn_blown(out[2], done - n):
                 break
         stats = _stack_stats(stats_chunks)
         _log_metrics(config, stats, done)

@@ -12,8 +12,12 @@ Two execution paths build on this mesh:
   constraints; XLA inserts the halo collective-permutes and the polar-filter
   collectives automatically.
 * shard_map (``gcmiipy_tpu/parallel/halo.py`` + ``shard_step.py``): explicit
-  width-2 halo exchange via ``jax.lax.ppermute`` over ICI, overlapping
-  interior compute — the hand-tuned path.
+  halo exchange (width 3 for the 2D decomposition, width PHJ=8 for the
+  lat-ring fused path) via ``jax.lax.ppermute`` over ICI — the hand-tuned
+  path.  Exchanges happen at (half-)step boundaries ahead of the stencil
+  work; XLA's latency-hiding scheduler may overlap the ppermutes with
+  independent compute, but the kernels do not split interior/edge work
+  themselves.
 """
 
 import jax
