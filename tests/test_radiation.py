@@ -123,6 +123,161 @@ def test_basic_grey_radiation_hot_atmosphere_cools():
     assert float(jnp.mean(dTdt)) < 0
 
 
+def _random_column(geom, seed=0):
+    """Random (but physical) f64 fields exercising clouds/day/night."""
+    rng = np.random.default_rng(seed)
+    L, H, W = geom.layers, geom.height, geom.width
+    p = jnp.asarray(1e5 * (1 + 0.02 * rng.standard_normal((H, W))))
+    sig = jnp.asarray(geom.sig)
+    tp = p * sig + float(geom.ptop)
+    tt = jnp.asarray(260.0 + 60.0 * rng.random((L, H, W)))
+    t = thermo.to_potential_temp(tt, tp)
+    q = jnp.asarray(10.0 ** rng.uniform(-5, -2, (L, H, W)))
+    g = GroundVars(jnp.asarray(270.0 + 50.0 * rng.random((H, W))),
+                   jnp.zeros((H, W)), jnp.zeros((H, W)), jnp.zeros((H, W)))
+    return p, tp, tt, t, q, g
+
+
+def test_basic_grey_radiation_oracle_parity():
+    """JAX basic_grey_radiation == loop-based NumPy transcription of
+    reference grey_solar.py:358-563 at f64 roundoff."""
+    from gcmiipy_tpu.oracle import numpy_radiation as rad_np
+    geom = geometry.gen_geometry(6, 8, 9, sig_func=geometry.manabe_sig)
+    p, tp, tt, t, q, g = _random_column(geom, seed=1)
+    utc = 5 * 3600.0
+    dTdt, dtg = radiation.basic_grey_radiation(p, tp, tt, g, 0.1, 0.9, 0.3,
+                                               utc, geom)
+    dTdt_o, dtg_o = rad_np.basic_grey_radiation_np(
+        p, tp, tt, g.gt, 0.1, 0.9, 0.3, utc, geom)
+    np.testing.assert_allclose(np.asarray(dTdt), dTdt_o, rtol=1e-11,
+                               atol=1e-16)
+    np.testing.assert_allclose(np.asarray(dtg), dtg_o, rtol=1e-11,
+                               atol=1e-16)
+
+
+def test_grey_solar_oracle_parity():
+    from gcmiipy_tpu.oracle import numpy_radiation as rad_np
+    geom = geometry.gen_geometry(6, 8, 9, sig_func=geometry.manabe_sig)
+    p, tp, tt, t, q, g = _random_column(geom, seed=2)
+    t_n, dw = radiation.grey_solar(p, q, t, 0.4, g.gt, 0.0, 600.0, geom)
+    t_n_o, dw_o = rad_np.grey_solar_np(p, q, t, 0.4, g.gt, 0.0, 600.0, geom)
+    np.testing.assert_allclose(np.asarray(t_n), t_n_o, rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(dw), dw_o, rtol=1e-11, atol=1e-12)
+
+
+def test_grey_radiation_oracle_parity():
+    from gcmiipy_tpu.oracle import numpy_radiation as rad_np
+    geom = geometry.gen_geometry(6, 8, 9, sig_func=geometry.manabe_sig)
+    p, tp, tt, t, q, g = _random_column(geom, seed=3)
+    dtg, dta, toa = radiation.grey_radiation(p, q, tt, 0.3, g, None, 600.0,
+                                             geom)
+    dtg_o, dta_o, toa_o = rad_np.grey_radiation_np(p, q, tt, 0.3, g.gt,
+                                                   None, 600.0, geom)
+    np.testing.assert_allclose(np.asarray(dtg), dtg_o, rtol=1e-11,
+                               atol=1e-16)
+    np.testing.assert_allclose(np.asarray(dta), dta_o, rtol=1e-11,
+                               atol=1e-16)
+    np.testing.assert_allclose(np.asarray(toa), toa_o, rtol=1e-11)
+
+
+def test_grey_radiation_budget_closes():
+    """Column energy conservation: integrated air+ground heating equals
+    net flux in at the boundaries (incoming SW minus cloud-reflected SW,
+    the ground-albedo SW leak, and TOA LW escape).  Would fail with the
+    SW/LW sweeps swapped, a sign slip, or a dropped absorption term."""
+    from gcmiipy_tpu.oracle import numpy_radiation as rad_np
+    geom = geometry.gen_geometry(6, 8, 9, sig_func=geometry.manabe_sig)
+    p, tp, tt, t, q, g = _random_column(geom, seed=4)
+    c = 0.3
+    dtg_o, dta_o, toa_o, fx = rad_np.grey_radiation_np(
+        p, q, tt, c, g.gt, None, 600.0, geom, return_fluxes=True)
+    sig = np.asarray(geom.sig)
+    dsig = np.asarray(geom.dsig)
+    tp_np = np.asarray(p)[None] * sig + float(geom.ptop)
+    rho = tp_np / (constants.Rd * np.asarray(tt))
+    depth = np.asarray(p) * dsig / (rho * constants.G)
+    air_heat = np.sum(constants.Cp * rho * depth * dta_o, axis=0)
+    ground_heat = constants.Cg * 0.1 * dtg_o
+    net_in = (fx["irradiance"] - fx["reflected"] - fx["sw_ground_leak"]
+              - fx["toa_up"])
+    np.testing.assert_allclose(air_heat + ground_heat, net_in,
+                               rtol=1e-10, atol=1e-8)
+    # and the JAX twin inherits closure through the 1e-11 parity test
+
+
+def test_basic_grey_radiation_budget_closes():
+    """Same closure for the driver-wired basic grey atmosphere: heating
+    integral == absorbed solar minus the two LW escape routes (ground
+    emission through the column + the emission-only upwelling ladder top)
+    minus the ground-albedo reflection."""
+    from gcmiipy_tpu.oracle import numpy_radiation as rad_np
+    geom = geometry.gen_geometry(6, 8, 9, sig_func=geometry.manabe_sig)
+    p, tp, tt, t, q, g = _random_column(geom, seed=5)
+    utc = 7 * 3600.0
+    dTdt_o, dtg_o, fx = rad_np.basic_grey_radiation_np(
+        p, tp, tt, g.gt, 0.1, 0.9, 0.3, utc, geom, return_fluxes=True)
+    dsig = np.asarray(geom.dsig)
+    air_heat = np.sum(
+        dTdt_o * constants.Cp * np.asarray(p) * dsig / constants.G, axis=0)
+    ground_heat = constants.Cg * 0.1 * dtg_o
+    net_in = (fx["Sc"] - fx["sw_reflected"] - fx["lw_escape_ground"]
+              - fx["lw_escape_layers"])
+    np.testing.assert_allclose(air_heat + ground_heat, net_in,
+                               rtol=1e-10, atol=1e-8)
+
+
+def test_physics_driver_matches_oracle():
+    """Five physics-on driver steps == NumPy oracle (dynamics + radiation
+    composed exactly as reference no_limits_2_5d.full_timestep would with
+    its early return removed): f64 end-to-end parity."""
+    import jax
+
+    from gcmiipy_tpu.model import driver as driver_mod
+    from gcmiipy_tpu.model.state import ModelState, PrognosticVars
+    from gcmiipy_tpu.oracle import numpy_radiation as rad_np
+    from gcmiipy_tpu.oracle import numpy_ref
+
+    geom = geometry.gen_geometry(8, 12, 5, sig_func=geometry.manabe_sig)
+    geom = geom.astype(np.float64)
+    cfg = ModelConfig(dt=600.0, physics=True, dtype="float64", stats=False)
+    rng = np.random.default_rng(6)
+    H, W, L = 8, 12, 5
+    p0 = 1e5 * (1 + 1e-3 * rng.standard_normal((H, W)))
+    u0 = 0.5 * rng.standard_normal((L, H, W))
+    v0 = 0.5 * rng.standard_normal((L, H, W))
+    sig = np.asarray(geom.sig)
+    tp0 = p0[None] * sig + float(geom.ptop)
+    tt0 = 280.0 + 5 * rng.standard_normal((L, H, W))
+    t0 = tt0 * (constants.P0 / tp0) ** constants.kappa
+    q0 = 1e-5 * (1 + 0.1 * rng.random((L, H, W)))
+    gt0 = 300.0 + 5 * rng.standard_normal((H, W))
+
+    state = ModelState(
+        PrognosticVars(*(jnp.asarray(x) for x in (p0, u0, v0, t0, q0))),
+        GroundVars(jnp.asarray(gt0), jnp.zeros((H, W)), jnp.zeros((H, W)),
+                   jnp.zeros((H, W))),
+        jnp.asarray(0.0), jnp.asarray(0, jnp.int32))
+    filter_fn = driver_mod.make_filter_fn(cfg, geom)
+    for _ in range(5):
+        state = driver_mod.full_timestep(state, geom, cfg, filter_fn)
+
+    # oracle: dynamics step then radiation step, per step
+    o = (p0, u0, v0, t0, q0)
+    gt = gt0
+    for i in range(5):
+        o = numpy_ref.matsuno_timestep_np(*o, 600.0, geom)
+        p_i, u_i, v_i, t_i, q_i = o
+        t_i, gt = rad_np.solar_timestep_np(t_i, p_i, gt, 600.0, i * 600.0,
+                                           cfg.t_lw, cfg.t_sw, cfg.albedo,
+                                           geom)
+        o = (p_i, u_i, v_i, t_i, q_i)
+
+    for name, a, b in zip("puvtq", o, state.prog):
+        np.testing.assert_allclose(np.asarray(b), a, rtol=1e-9, atol=1e-9,
+                                   err_msg=f"field {name}")
+    np.testing.assert_allclose(np.asarray(state.ground.gt), gt, rtol=1e-10)
+
+
 def test_column_physics_run():
     # the reference column-physics configuration shape (test_geography.py:49),
     # shortened: 1 x 16 x 17, dt = 30 min, 100 steps with radiation enabled
