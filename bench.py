@@ -84,13 +84,44 @@ def tpu_throughput(height, width, layers, steps, dtype="float32",
     from gcmiipy_tpu.ops.pallas_stencil import MEGA_MAX_WIDTH
 
     state = (p, u, v, t, q)
-    if backend in ("fused3", "fused4", "fused4noband") \
-            and width > MEGA_MAX_WIDTH:
+    if (backend in ("fused3", "fused4", "fused4noband")
+            or backend.startswith("stream")) and width > MEGA_MAX_WIDTH:
         # the in-VMEM-filter kernels top out at MEGA_MAX_WIDTH on a v5e;
         # measure the v1 pipeline instead
         print(f"# width {width} > {MEGA_MAX_WIDTH}: in-VMEM DFT filter does "
               "not fit VMEM; benching the v1 fused pipeline", file=sys.stderr)
         backend = "fused"
+    if backend.startswith("stream"):
+        # streaming multi-step kernel: K whole Matsuno steps per launch,
+        # double-buffered manual DMA (ops/pallas_stream.py); the packed
+        # ping-pong state buffer is carried across the whole scan
+        from gcmiipy_tpu.ops import pallas_stream as pstream
+        K = int(backend[6:]) if len(backend) > 6 else 20
+        if steps % K:
+            raise ValueError(f"--steps {steps} must be a multiple of K={K}")
+        multi = pstream.make_stream_kernel(
+            geom, dt, K, dtype=dtype, filter_precision=filter_precision)
+        packed = pstream.pack_state(*state)
+        state = jnp.stack([packed, jnp.zeros_like(packed)])
+
+        def body(carry, _):
+            return multi(carry), None
+
+        @jax.jit
+        def run(state):
+            out, _ = jax.lax.scan(body, state, None, length=steps // K)
+            return out
+        out = run(state)
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run(state)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        points = layers * height * width * steps
+        return points / best, best / steps, backend
     if backend in ("fused3", "fused4", "fused4noband"):
         # mega-kernel: polar filter lives inside the kernel (DFT matmuls)
         from gcmiipy_tpu.dynamics import fused
@@ -176,9 +207,10 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--baseline-height", type=int, default=128)
     ap.add_argument("--baseline-width", type=int, default=256)
-    ap.add_argument("--backend", default="fused4",
+    ap.add_argument("--backend", default="stream",
                     choices=["fused", "fused2", "fused3", "fused4",
-                             "fused4noband", "xla"])
+                             "fused4noband", "xla", "stream", "stream8",
+                             "stream40", "stream200"])
     ap.add_argument("--filter", default="dft",
                     choices=["fft", "dft", "dft_bf16", "matmul"])
     ap.add_argument("--precision", default="fwd_high",

@@ -58,7 +58,10 @@ def _add_run_args(ap):
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "float64"])
     ap.add_argument("--backend", default="xla",
-                    choices=["xla", "fused", "mega", "mega4"])
+                    choices=["xla", "fused", "mega", "mega4", "stream"])
+    ap.add_argument("--stream-steps", type=int, default=20,
+                    help="steps per launch of the 'stream' backend "
+                         "(even; guard/stats granularity)")
     ap.add_argument("--polar-filter", default="fft",
                     choices=["fft", "matmul", "dft"])
     ap.add_argument("--filter-precision", default="fwd_high",
@@ -106,6 +109,7 @@ def cmd_run(args):
         shapiro_fields=args.shapiro_fields,
         t_lw=args.t_lw, t_sw=args.t_sw, albedo=args.albedo,
         dtype=args.dtype, backend=args.backend,
+        stream_steps=args.stream_steps,
         polar_filter=args.polar_filter,
         filter_precision=args.filter_precision, guard=args.guard,
         guard_p_max=args.guard_p_max, guard_p_min=args.guard_p_min,

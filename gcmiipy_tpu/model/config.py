@@ -75,9 +75,18 @@ class ModelConfig:
     #   'mega'  — one Pallas kernel per half step with the polar filter
     #             fused in-VMEM (f32, grid 8|H and 128|W)
     #   'mega4' — the whole Matsuno step in ONE kernel with the
-    #             band-limited in-VMEM DFT filter (fastest; same grid
-    #             constraints as 'mega')
+    #             band-limited in-VMEM DFT filter (same grid constraints
+    #             as 'mega')
+    #   'stream' — the streaming multi-step kernel: ``stream_steps``
+    #             whole Matsuno steps per launch with manually
+    #             double-buffered DMA (fastest; pure-dynamics runs only —
+    #             per-step extras like physics/drag/Shapiro cannot run
+    #             inside the launch, and guard/stats/checkpoint cadence
+    #             coarsens to stream_steps)
     backend: str = "xla"
+    # Steps per launch of the 'stream' backend (must be even; guard and
+    # stats operate at this granularity there)
+    stream_steps: int = 20
     # Matmul precision of the mega backends' in-kernel DFT filter:
     # 'high' (split-bf16 fwd+inv, ~1e-5 filter err), 'fwd_high' (split
     # fwd only — near-'high' accuracy at 2/3 the MXU cost), 'highest'

@@ -77,15 +77,38 @@ def solar_timestep(t, p, g, dt, utc, geom, config):
     return t_n, GroundVars(gt_n, g.gw, g.snow, g.ice)
 
 
-def make_dynamics_step(geom, config, filter_fn):
+def make_dynamics_step(geom, config, filter_fn, mesh=None):
     """Select the stencil backend: plain XLA, the fused Pallas half-step
-    kernel, or the mega-kernel (filter fused in-VMEM)."""
-    if config.backend in ("fused", "mega", "mega4"):
+    kernel, or the mega-kernel (filter fused in-VMEM).
+
+    With ``mesh`` (a lat-ring device mesh with a 'y' axis): fused-family
+    backends run the explicit-halo lat-ring whole-step kernel
+    (:func:`gcmiipy_tpu.parallel.shard_step.make_shard_step_fused4`);
+    the XLA backend runs the roll-based core and lets GSPMD insert the
+    collectives (shardings come from the caller's jit annotations).
+
+    The 'stream' backend is handled by :func:`make_run_fn` (it advances
+    ``config.stream_steps`` per launch, which does not fit the
+    one-step-at-a-time contract here); for the single-step uses (callback
+    path) it degrades to 'mega4'.
+    """
+    backend = config.backend
+    if backend == "stream":
+        backend = "mega4"
+    if mesh is not None and backend in ("fused", "mega", "mega4"):
+        from gcmiipy_tpu.parallel import shard_step
+        import jax as _jax
+        return shard_step.make_shard_step_fused4(
+            mesh, geom, config.dt, coriolis=config.coriolis,
+            dtype=np.dtype(config.dtype),
+            filter_precision=config.filter_precision,
+            interpret=_jax.default_backend() != "tpu", jit=False)
+    if backend in ("fused", "mega", "mega4"):
         from gcmiipy_tpu.dynamics import fused
         return fused.make_fused_step(
             geom, config.dt, coriolis=config.coriolis,
             dtype=jnp.dtype(config.dtype), filter_fn=filter_fn,
-            pipeline="v1" if config.backend == "fused" else config.backend,
+            pipeline="v1" if backend == "fused" else backend,
             filter_precision=config.filter_precision)
     return lambda *s: core25d.matsuno_timestep(
         *s, config.dt, geom, filter_fn=filter_fn, coriolis=config.coriolis)
@@ -168,7 +191,142 @@ def state_bad(state: ModelState, config) -> jnp.ndarray:
     return bad
 
 
-def make_run_fn(geom, config, timesteps):
+def _make_stream_run_fn(geom, config, timesteps):
+    """Run-function builder for the 'stream' backend: the scan advances
+    ``config.stream_steps`` Matsuno steps per iteration through the
+    streaming multi-step kernel (:mod:`gcmiipy_tpu.ops.pallas_stream`).
+
+    Guard and stats operate at chunk granularity: ``GuardInfo.blown_step``
+    names the FIRST step of the chunk that went bad (the true bad step is
+    within [blown_step, blown_step + stream_steps)), and stats stack one
+    entry per chunk.  Per-step extras (physics, drag, Shapiro) cannot run
+    inside a multi-step launch — requesting them raises.
+    """
+    import warnings
+
+    from gcmiipy_tpu.dynamics.fused import fused_grid_supported
+    from gcmiipy_tpu.ops import pallas_stream
+    from gcmiipy_tpu.ops.pallas_stencil import MEGA_MAX_WIDTH
+
+    if config.physics or config.drag_tau > 0 or config.shapiro_every > 0:
+        raise ValueError(
+            "backend 'stream' runs pure dynamics only (per-step physics/"
+            "drag/Shapiro cannot run inside a multi-step launch); use "
+            "'mega4' for full-featured runs")
+    if (timesteps < 2 or not fused_grid_supported(geom)
+            or geom.width > MEGA_MAX_WIDTH or geom.height < 16):
+        import dataclasses as _dc
+        warnings.warn(
+            f"backend 'stream' needs >= 2 steps and a grid with 8 | H "
+            f"(H >= 16) and 128 | W <= {MEGA_MAX_WIDTH}; "
+            f"{timesteps} steps on {geom.height}x{geom.width} falls back "
+            "to 'mega4'", stacklevel=2)
+        return make_run_fn(geom, _dc.replace(config, backend="mega4"),
+                           timesteps)
+
+    interpret = jax.default_backend() != "tpu"
+    dtype = jnp.dtype(config.dtype)
+    K = max(2, config.stream_steps - config.stream_steps % 2)
+    K = min(K, timesteps - timesteps % 2)
+    n_chunks, rem = divmod(timesteps, K)
+    rem_even = rem - rem % 2
+    tail_odd = rem % 2
+    L = geom.layers
+
+    def make_k(k):
+        return pallas_stream.make_stream_kernel(
+            geom, config.dt, k, coriolis=config.coriolis, dtype=dtype,
+            filter_precision=config.filter_precision, interpret=interpret)
+
+    multi = make_k(K)
+    multi_rem = make_k(rem_even) if rem_even else None
+    tail_step = (make_dynamics_step(geom, config, None) if tail_odd
+                 else None)
+
+    def advance_chunk(state, multi_k, k):
+        prog, g, utc, step = state
+        packed = pallas_stream.pack_state(*(x.astype(dtype) for x in prog))
+        S = jnp.stack([packed, jnp.zeros_like(packed)])
+        S = multi_k(S)
+        prog_n = PrognosticVars(*pallas_stream.unpack_state(S[0], L))
+        return ModelState(prog_n, g, utc + k * config.dt, step + k)
+
+    def tail(state):
+        if rem_even:
+            state = advance_chunk(state, multi_rem, rem_even)
+        if tail_odd:
+            state = full_timestep(state, geom, config, None, tail_step)
+        return state
+
+    if config.guard:
+        def guarded_chunk(carry, chunk_start, chunk_fn):
+            state, ok, blown = carry
+            new_state = chunk_fn(state)
+            bad = state_bad(new_state, config)
+            advance = ok & ~bad
+            state = jax.tree.map(
+                lambda old, new: jnp.where(advance, new, old),
+                state, new_state)
+            blown = jnp.where(ok & bad, chunk_start, blown)
+            return state, advance, blown
+
+        def gbody(carry, idx):
+            carry = guarded_chunk(carry, idx * K,
+                                  lambda s: advance_chunk(s, multi, K))
+            stats = collect_stats(carry[0], geom) if config.stats else None
+            return carry, stats
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run(state):
+            carry = (state, jnp.asarray(True),
+                     jnp.asarray(-1, dtype=jnp.int32))
+            carry, stats = jax.lax.scan(
+                gbody, carry, jnp.arange(n_chunks, dtype=jnp.int32))
+            extra = []
+            if rem_even:
+                carry = guarded_chunk(
+                    carry, n_chunks * K,
+                    lambda s: advance_chunk(s, multi_rem, rem_even))
+                if config.stats:
+                    extra.append(collect_stats(carry[0], geom))
+            if tail_odd:
+                carry = guarded_chunk(
+                    carry, timesteps - 1,
+                    lambda s: full_timestep(s, geom, config, None,
+                                            tail_step))
+                if config.stats:
+                    extra.append(collect_stats(carry[0], geom))
+            if config.stats and extra:
+                ex = jax.tree.map(lambda *xs: jnp.stack(xs), *extra)
+                stats = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b]), stats, ex)
+            state, ok, blown = carry
+            return state, stats, GuardInfo(ok, blown)
+
+        return run
+
+    def body(state, _):
+        state = advance_chunk(state, multi, K)
+        stats = collect_stats(state, geom) if config.stats else None
+        return state, stats
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(state):
+        state, stats = jax.lax.scan(body, state, None, length=n_chunks)
+        extra = []
+        state = tail(state) if (rem_even or tail_odd) else state
+        if config.stats and (rem_even or tail_odd):
+            extra.append(collect_stats(state, geom))
+        if config.stats and extra:
+            ex = jax.tree.map(lambda *xs: jnp.stack(xs), *extra)
+            stats = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b]), stats, ex)
+        return state, stats
+
+    return run
+
+
+def make_run_fn(geom, config, timesteps, mesh=None):
     """Build a jitted scan over ``timesteps`` Matsuno steps with donated state.
 
     Returns ``run(state) -> (state, stats)``; with ``config.guard`` on,
@@ -177,9 +335,31 @@ def make_run_fn(geom, config, timesteps):
     out-of-bounds surface pressure, TPU-natively (no host sync per step:
     the guard is a scan-carried flag, the reference's per-step host NaN
     sweep cannot live inside jit).
+
+    With ``mesh`` (a device mesh with a 'y' axis) the dynamics step runs
+    the lat-ring decomposition (:func:`make_dynamics_step`); pass a state
+    already placed with :func:`gcmiipy_tpu.parallel.mesh
+    .ring_state_shardings` — guard reductions, stats and checkpoint
+    gathers are plain jnp ops on the sharded arrays, which GSPMD lowers
+    to the proper collectives.
+
+    The 'stream' backend (single-device) advances ``config.stream_steps``
+    per scan iteration; see :func:`_make_stream_run_fn` for its guard and
+    stats granularity.
     """
+    if config.backend == "stream" and mesh is None:
+        return _make_stream_run_fn(geom, config, timesteps)
+    if mesh is not None and config.polar_filter == "fft" \
+            and config.backend == "xla":
+        # under a sharded mesh the zonal rFFT is the one op GSPMD handles
+        # badly (resharding collectives; XLA's CPU fft thunk also rejects
+        # non-major sharded layouts outright) — the shared-matrix DFT
+        # matmul is the decomposition-friendly exact-same-mask form
+        # (SURVEY.md section 5.7)
+        import dataclasses as _dc
+        config = _dc.replace(config, polar_filter="dft")
     filter_fn = make_filter_fn(config, geom)
-    dynamics_step = make_dynamics_step(geom, config, filter_fn)
+    dynamics_step = make_dynamics_step(geom, config, filter_fn, mesh=mesh)
 
     def body(state, _):
         state = full_timestep(state, geom, config, filter_fn, dynamics_step)
@@ -240,19 +420,24 @@ def _stack_stats(chunks):
                                                     for x in xs]), *chunks)
 
 
-def _log_metrics(config, stats, n_steps):
+def _log_metrics(config, stats, n_steps=None):
     if not (config.metrics_path and stats is not None):
         return
     from gcmiipy_tpu.model.observability import MetricsLogger
     logger = MetricsLogger(config.metrics_path)
     host = jax.device_get(stats)
-    for i in range(n_steps):
+    # row count from the stats themselves: the 'stream' backend collects
+    # one entry per stream_steps chunk, not per step
+    n = len(np.asarray(host.total_energy))
+    if n_steps is not None:
+        n = min(n, n_steps) if n > n_steps else n
+    for i in range(n):
         logger.log(i, **{k: getattr(host, k)[i] for k in StepStats._fields})
     logger.close()
 
 
 def run_model(height, width, layers, dt, timesteps, callback=None,
-              config: ModelConfig = None):
+              config: ModelConfig = None, mesh=None):
     """Reference-compatible entry point (reference no_limits_2_5d.py:220-236).
 
     Returns (p, u, v, t, q, ground, geom, stats).  With ``callback`` the run
@@ -262,6 +447,12 @@ def run_model(height, width, layers, dt, timesteps, callback=None,
     with a checkpoint written after each chunk.  With ``config.guard`` on, a
     run that blows up (NaNs / pressure out of bounds) stops advancing and a
     RuntimeWarning names the first bad step.
+
+    With ``mesh`` (a device mesh with a 'y' latitude axis) the run is
+    decomposed over the latitude ring: the state is placed with
+    :func:`gcmiipy_tpu.parallel.mesh.ring_state_shardings`, fused backends
+    run the explicit-halo lat-ring kernel, and guard/stats/checkpointing
+    work exactly as on one device (their reductions become collectives).
     """
     if config is None:
         config = ModelConfig(height=height, width=width, layers=layers, dt=dt)
@@ -280,6 +471,12 @@ def run_model(height, width, layers, dt, timesteps, callback=None,
                                      ptop=config.ptop)
     geom = geom.astype(np.dtype(config.dtype))
     state = gen_model_state(geom, config)
+    if mesh is not None:
+        if callback is not None:
+            raise ValueError("mesh runs use the compiled scan path; "
+                             "callback is not supported")
+        from gcmiipy_tpu.parallel import mesh as mesh_mod
+        state = jax.device_put(state, mesh_mod.ring_state_shardings(mesh))
 
     def warn_blown(guard_info, base_step=0):
         if guard_info is not None and not bool(guard_info.ok):
@@ -301,12 +498,13 @@ def run_model(height, width, layers, dt, timesteps, callback=None,
     if callback is None and checkpointing:
         from gcmiipy_tpu.model.checkpoint import save_checkpoint
         every = config.checkpoint_every
-        run_chunk = make_run_fn(geom, config, every)
+        run_chunk = make_run_fn(geom, config, every, mesh=mesh)
         stats_chunks = []
         done = 0
         while done < timesteps:
             n = min(every, timesteps - done)
-            run_n = run_chunk if n == every else make_run_fn(geom, config, n)
+            run_n = (run_chunk if n == every
+                     else make_run_fn(geom, config, n, mesh=mesh))
             out = run_n(state)
             state, stats_c = out[0], out[1]
             stats_chunks.append(jax.device_get(stats_c)
@@ -326,7 +524,7 @@ def run_model(height, width, layers, dt, timesteps, callback=None,
         return (prog.p, prog.u, prog.v, prog.t, prog.q, ground, geom, stats)
 
     if callback is None:
-        run = make_run_fn(geom, config, timesteps)
+        run = make_run_fn(geom, config, timesteps, mesh=mesh)
         out = run(state)
         state, stats = out[0], out[1]
         if config.guard:

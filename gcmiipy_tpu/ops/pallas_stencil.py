@@ -905,6 +905,130 @@ def block_chunk_counts(polar_mask, tile_j, lo, hi, row_offset=0, nj=None,
     return out
 
 
+def matsuno_block_body(base, lgeom, keep, mask_ref, nch, CS_ref, CwSw_ref,
+                       dt, coriolis, split_fwd, split_inv, prec, dtype):
+    """BOTH Matsuno halves (predictor + corrector, incl. the two banded
+    in-VMEM DFT polar-filter rounds) on one rows-padded latitude block.
+
+    The shared compute body of the whole-step kernels: the grid-based v4
+    kernel (:func:`make_mega_step_kernel`) and the streaming multi-step
+    kernel (:mod:`gcmiipy_tpu.ops.pallas_stream`) both call it, so the
+    step numerics live in exactly one place (on top of the
+    ``core25d.half_timestep_*`` functions all backends share).
+
+    Arguments:
+      base: (p, u, v, t, q) block arrays of shape (tj_in, W) / (L, tj_in, W)
+        with tj_in = tile_j + 2*PHJ rows (PHJ-row halo above and below).
+      lgeom: block-local Geom (row tables shaped (1, tj_in, 1)).
+      keep: (tj_in, 1) polar-wall keep mask (0.0 on the global row H-1).
+      mask_ref: VMEM REF of the block's (tj_in, ncols) banded
+        correction-mask rows.  Must be a ref, not an array: the chunk loop
+        slices its lanes with a dynamic ``pl.ds`` offset, and Mosaic has no
+        ``dynamic_slice`` lowering for materialized arrays — ref loads with
+        static sublane ranges + dynamic lane offsets are the supported
+        (and hardware-verified) form.
+      nch: traced int32 — this block's banded-filter chunk trip count.
+      CS_ref / CwSw_ref: VMEM refs of the chunk-interleaved banded DFT
+        factor pair (split layouts when split_fwd / split_inv).
+
+    Returns the 5 prognostic fields cropped to the tile_j core rows.
+    Row bookkeeping is documented at the v4 kernel header above.
+    """
+    from gcmiipy_tpu.dynamics import core25d
+    from gcmiipy_tpu.ops import stencil
+
+    p_b, u_b, v_b, t_b, q_b = base
+    L = u_b.shape[0]
+    tj_in = p_b.shape[-2]
+    W = p_b.shape[-1]
+    tile_j = tj_in - 2 * PHJ
+    lo, hi = 4, tile_j + 12            # filter window (block-relative)
+    tj8 = tile_j + 8                   # rows per filter segment
+    R = 2 * L * tj8                    # filter matmul batch rows
+
+    def d(a, b):
+        return jnp.matmul(a, b, precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=dtype)
+
+    def mm_plain(x, M):
+        return jnp.matmul(x, M, precision=prec,
+                          preferred_element_type=dtype)
+
+    def bcast_mask(mrow, ch):
+        # per-row mask slice -> the (field, k, j) row order of X
+        m = jnp.broadcast_to(mrow[None], (2 * L, tj8, ch))
+        return m.reshape(R, ch)
+
+    def correction(X):
+        """Filter correction, FILTER_CHUNK-interleaved C|S pairs; trip
+        count = this block's damped-band need (all chunks when
+        band_limit is off).  The hi/lo bf16 split of X is hoisted out
+        of the chunk loop."""
+        CH2 = 2 * FILTER_CHUNK
+        if split_fwd:
+            Xh = X.astype(jnp.bfloat16).astype(dtype)
+            Xl = X - Xh
+
+        def body(c, Y):
+            s = pl.multiple_of(c * CH2, CH2)
+            mcc = bcast_mask(mask_ref[lo:hi, pl.ds(s, CH2)], CH2)
+            if split_fwd:
+                Mh = CS_ref[0, :, pl.ds(s, CH2)]
+                Ml = CS_ref[1, :, pl.ds(s, CH2)]
+                ab = (d(Xh, Mh) + d(Xh, Ml) + d(Xl, Mh)) * mcc
+            else:
+                ab = mm_plain(X, CS_ref[:, pl.ds(s, CH2)]) * mcc
+            if split_inv:
+                Wh = CwSw_ref[0, pl.ds(s, CH2), :]
+                Wl = CwSw_ref[1, pl.ds(s, CH2), :]
+                abh = ab.astype(jnp.bfloat16).astype(dtype)
+                return Y + d(abh, Wh) + d(abh, Wl) + d(ab - abh, Wh)
+            return Y + mm_plain(ab, CwSw_ref[pl.ds(s, CH2), :])
+
+        return jax.lax.fori_loop(0, nch, body, X)
+
+    def filter_round(spu_raw, pg_phi):
+        """Filter both fields on rows [lo, hi); returns (spu_f embedded
+        into the full block, pgfu on rows [lo, hi))."""
+        X = jnp.concatenate(
+            [spu_raw[:, lo:hi], pg_phi[:, lo:hi]],
+            axis=0).reshape(R, W)
+        Y = correction(X)
+        Y = Y.reshape(2 * L, tj8, W)
+        spu_f = jnp.concatenate(
+            [spu_raw[:, :lo], Y[:L], spu_raw[:, hi:]], axis=1)
+        return spu_f, Y[L:]
+
+    def half(hbase, seval, out_window):
+        """One half step; returns the 5 fields embedded full-block
+        (valid on rows [lo+2, hi-2) at least)."""
+        sp, su, sv, st, sq = seval
+        spu_raw, pg_phi, pg_phiv = core25d.pgf_forces(sp, su, st, lgeom)
+        spu_f, pgfu = filter_round(spu_raw, pg_phi)
+        p_n, pup, pvp, t_n, q_n = core25d.half_timestep_rest(
+            *hbase, sp, su, sv, st, sq, spu_f, dt, lgeom,
+            coriolis=coriolis)
+        w = lambda x: x[..., lo:hi, :]
+        iph_pn = w(stencil.iph(p_n))
+        jph_pn = w(stencil.jph(p_n))
+        u_n = (w(pup) - pgfu * dt) / iph_pn
+        v_n = ((w(pvp) - w(pg_phiv) * dt) / jph_pn) * keep[lo:hi]
+        if out_window:
+            return w(p_n), u_n, v_n, w(t_n), w(q_n)
+        # embed into full blocks for the corrector's stencil reads
+        pb, ub, vb, tb, qb = hbase
+        emb = lambda mid, full: jnp.concatenate(
+            [full[..., :lo, :], mid, full[..., hi:, :]], axis=-2)
+        return (emb(w(p_n), pb), emb(u_n, ub), emb(v_n, vb),
+                emb(w(t_n), tb), emb(w(q_n), qb))
+
+    starred = half(base, base, out_window=False)
+    p_n, u_n, v_n, t_n, q_n = half(base, starred, out_window=True)
+    # window rows [lo, hi) -> core rows: PHJ - lo = 4 rows in
+    ctr = lambda x: x[..., PHJ - lo:PHJ - lo + tile_j, :]
+    return ctr(p_n), ctr(u_n), ctr(v_n), ctr(t_n), ctr(q_n)
+
+
 def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
                           tile_j=None, filter_precision="high",
                           interpret=False, band_limit=True,
@@ -1055,93 +1179,16 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
             sig=sig_ref[:], dsig=dsig_ref[:],
         )
         keep = 1.0 - wall_ref[:]                       # (tj_in, 1)
-
-        def d(a, b):
-            return jnp.matmul(a, b, precision=jax.lax.Precision.DEFAULT,
-                              preferred_element_type=dtype)
-
-        def mm_plain(x, M):
-            return jnp.matmul(x, M, precision=prec,
-                              preferred_element_type=dtype)
-
-        def bcast_mask(mrow, ch):
-            # per-row mask slice -> the (field, k, j) row order of X
-            m = jnp.broadcast_to(mrow[None], (2 * L, tj8, ch))
-            return m.reshape(R, ch)
-
-        def correction(X):
-            """Filter correction, FILTER_CHUNK-interleaved C|S pairs; trip
-            count = this block's damped-band need (all chunks when
-            band_limit is off).  The hi/lo bf16 split of X is hoisted out
-            of the chunk loop."""
-            CH2 = 2 * FILTER_CHUNK
-            if split_fwd:
-                Xh = X.astype(jnp.bfloat16).astype(dtype)
-                Xl = X - Xh
-
-            def body(c, Y):
-                s = pl.multiple_of(c * CH2, CH2)
-                mcc = bcast_mask(mask_ref[lo:hi, pl.ds(s, CH2)], CH2)
-                if split_fwd:
-                    Mh = CS_ref[0, :, pl.ds(s, CH2)]
-                    Ml = CS_ref[1, :, pl.ds(s, CH2)]
-                    ab = (d(Xh, Mh) + d(Xh, Ml) + d(Xl, Mh)) * mcc
-                else:
-                    ab = mm_plain(X, CS_ref[:, pl.ds(s, CH2)]) * mcc
-                if split_inv:
-                    Wh = CwSw_ref[0, pl.ds(s, CH2), :]
-                    Wl = CwSw_ref[1, pl.ds(s, CH2), :]
-                    abh = ab.astype(jnp.bfloat16).astype(dtype)
-                    return Y + d(abh, Wh) + d(abh, Wl) + d(ab - abh, Wh)
-                return Y + mm_plain(ab, CwSw_ref[pl.ds(s, CH2), :])
-
-            return jax.lax.fori_loop(0, nch_ref[pl.program_id(0), 0],
-                                     body, X)
-
-        def filter_round(spu_raw, pg_phi):
-            """Filter both fields on rows [lo, hi); returns (spu_f embedded
-            into the full block, pgfu on rows [lo, hi))."""
-            X = jnp.concatenate(
-                [spu_raw[:, lo:hi], pg_phi[:, lo:hi]],
-                axis=0).reshape(R, W)
-            Y = correction(X)
-            Y = Y.reshape(2 * L, tj8, W)
-            spu_f = jnp.concatenate(
-                [spu_raw[:, :lo], Y[:L], spu_raw[:, hi:]], axis=1)
-            return spu_f, Y[L:]
-
-        def half(base, seval, out_window):
-            """One half step; returns the 5 fields embedded full-block
-            (valid on rows [lo+2, hi-2) at least)."""
-            sp, su, sv, st, sq = seval
-            spu_raw, pg_phi, pg_phiv = core25d.pgf_forces(sp, su, st, lgeom)
-            spu_f, pgfu = filter_round(spu_raw, pg_phi)
-            p_n, pup, pvp, t_n, q_n = core25d.half_timestep_rest(
-                *base, sp, su, sv, st, sq, spu_f, dt, lgeom,
-                coriolis=coriolis)
-            w = lambda x: x[..., lo:hi, :]
-            iph_pn = w(stencil.iph(p_n))
-            jph_pn = w(stencil.jph(p_n))
-            u_n = (w(pup) - pgfu * dt) / iph_pn
-            v_n = ((w(pvp) - w(pg_phiv) * dt) / jph_pn) * keep[lo:hi]
-            if out_window:
-                return w(p_n), u_n, v_n, w(t_n), w(q_n)
-            # embed into full blocks for the corrector's stencil reads
-            pb, ub, vb, tb, qb = base
-            emb = lambda mid, full: jnp.concatenate(
-                [full[..., :lo, :], mid, full[..., hi:, :]], axis=-2)
-            return (emb(w(p_n), pb), emb(u_n, ub), emb(v_n, vb),
-                    emb(w(t_n), tb), emb(w(q_n), qb))
-
         base = (p_ref[:], u_ref[:], v_ref[:], t_ref[:], q_ref[:])
-        starred = half(base, base, out_window=False)
-        p_n, u_n, v_n, t_n, q_n = half(base, starred, out_window=True)
-        ctr = lambda x: x[..., hj - IN_OFF - lo:hj - IN_OFF - lo + tile_j, :]
-        pn_ref[:] = ctr(p_n)
-        un_ref[:] = ctr(u_n)
-        vn_ref[:] = ctr(v_n)
-        tn_ref[:] = ctr(t_n)
-        qn_ref[:] = ctr(q_n)
+        p_n, u_n, v_n, t_n, q_n = matsuno_block_body(
+            base, lgeom, keep, mask_ref,
+            nch_ref[pl.program_id(0), 0], CS_ref, CwSw_ref,
+            dt, coriolis, split_fwd, split_inv, prec, dtype)
+        pn_ref[:] = p_n
+        un_ref[:] = u_n
+        vn_ref[:] = v_n
+        tn_ref[:] = t_n
+        qn_ref[:] = q_n
 
     shape3_pad = jax.ShapeDtypeStruct((L, Hp, W), dtype)
     shape2_pad = jax.ShapeDtypeStruct((Hp, W), dtype)

@@ -1,0 +1,296 @@
+"""v5: the streaming multi-step kernel — K whole Matsuno steps per launch.
+
+Why it exists: the v4 whole-step kernel is bound by a ~1.9 ms DMA/launch
+floor (measured: a noop-body v4 kernel costs 1.92 ms at 9x512x1024 vs a
+0.19 ms HBM read+write-once roofline).  The floor is NOT bandwidth — it is
+the grid pipeline's Element-indexed block copies running unpipelined, plus
+one launch per step.  This kernel removes both:
+
+* ONE ``pallas_call`` executes ``steps`` complete Matsuno steps.  The
+  5-field state rides in HBM as a single packed ``(2, 1+4L, H, W)`` array
+  (plane 0 = p, then u, v, t, q); the two leading buffers ping-pong as
+  source/destination each step (``steps`` must be even so the result lands
+  back in buffer 0).  The buffer is aliased input->output, so the scan
+  carry never copies it.
+* Inside, latitude row-blocks stream through VMEM with explicitly
+  double-buffered async DMA (two input slots / two output slots, DMA
+  semaphores): block j+1's rows load and block j-2's results store while
+  block j computes.  Periodic latitude wrap = three input copies per block
+  (head/body/tail with mod-H row arithmetic) — the state needs NO padded
+  halos in HBM, which also kills the per-step ``refresh_rows`` strips.
+
+The compute per block is byte-for-byte the v4 body
+(:func:`gcmiipy_tpu.ops.pallas_stencil.matsuno_block_body` — both Matsuno
+halves + the band-limited in-VMEM DFT polar filter), so numerics match the
+v4/mega path exactly; parity vs the XLA core is enforced by
+``scripts/tpu_parity.py`` on hardware and the interpret-mode tests in
+``tests/test_stream.py``.
+
+Reference anchor: the hot loop this exists to beat is the reference's
+``dynamics.py:230-237`` Matsuno step (SURVEY.md section 3.1).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gcmiipy_tpu.ops import polar_filter
+from gcmiipy_tpu.ops.pallas_stencil import (
+    FILTER_CHUNK, MEGA_MAX_WIDTH, PHJ, _geom_row_consts, block_chunk_counts,
+    matsuno_block_body)
+
+
+def n_planes(layers):
+    """Packed field-plane count: p + the four (L, H, W) prognostics."""
+    return 1 + 4 * layers
+
+
+def pack_state(p, u, v, t, q):
+    """Stack (p, u, v, t, q) into the (1+4L, H, W) plane layout."""
+    return jnp.concatenate([p[None], u, v, t, q], axis=0)
+
+
+def unpack_state(packed, layers):
+    """Inverse of :func:`pack_state`."""
+    L = layers
+    return (packed[0], packed[1:1 + L], packed[1 + L:1 + 2 * L],
+            packed[1 + 2 * L:1 + 3 * L], packed[1 + 3 * L:1 + 4 * L])
+
+
+def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
+                       tile_j=32, filter_precision="fwd_high",
+                       band_limit=True, interpret=False,
+                       vmem_limit_bytes=125 * 1024 * 1024):
+    """Build ``multi(S) -> S`` running ``steps`` Matsuno steps in one launch.
+
+    ``S`` is the packed double buffer ``(2, 1+4L, H, W)``: buffer 0 holds
+    the state (buffer 1 is scratch whose contents are ignored on entry);
+    on return buffer 0 holds the advanced state (``steps`` must be even).
+
+    ``tile_j`` rows of latitude stream per block; every block additionally
+    reads the PHJ-row halo above and below (1.5x read amplification at
+    tile_j=32, 1.25x at 64) — the price of whole-step fusion, identical to
+    the v4 kernel's overlap-recompute scheme.
+    """
+    H, W, L = geom.height, geom.width, geom.layers
+    dtype = jnp.dtype(dtype)
+    NP = n_planes(L)
+    if steps % 2:
+        raise ValueError(f"steps must be even (buffer ping-pong), got {steps}")
+    if not interpret and W > MEGA_MAX_WIDTH:
+        raise ValueError(
+            f"W={W} > {MEGA_MAX_WIDTH}: in-VMEM DFT factor matrices do not "
+            "fit — use the v1 'fused' pipeline or the XLA backend")
+    while H % tile_j or H // tile_j < 2:
+        tile_j //= 2
+        if tile_j < 8:
+            raise ValueError(f"no tile_j >= 8 divides H={H} with >= 2 blocks")
+    if tile_j % 8:
+        raise ValueError(f"tile_j must be a multiple of 8, got {tile_j}")
+    nj = H // tile_j
+    hj = PHJ
+    tj_in = tile_j + 2 * hj
+    lo, hi = 4, tile_j + 12            # filter window (block-relative)
+
+    # ---- host-side constants (same prep as the v4 kernel) ----------------
+    CS_np, CwSw_np, nb = polar_filter.banded_pair_matrices(
+        W, dtype=np.dtype(dtype), chunk=FILTER_CHUNK)
+    n_chunks_full = nb // FILTER_CHUNK
+    ncols = 2 * nb
+    mask_np = np.pad(
+        polar_filter.banded_correction_mask_pair(
+            geom.polar_mask, nb, dtype=np.dtype(dtype)),
+        ((hj, hj), (0, 0)), mode="wrap")                       # (Hp, 2nb)
+    if band_limit:
+        nch_np = block_chunk_counts(geom.polar_mask, tile_j, 4, tile_j + 12)
+    else:
+        nch_np = np.full((nj, 1), n_chunks_full, np.int32)
+    wall_np = np.zeros((H, 1), dtype)
+    wall_np[H - 1, 0] = 1.0
+    wall_np = np.pad(wall_np, ((hj, hj), (0, 0)), mode="wrap")  # (Hp, 1)
+
+    if filter_precision not in ("highest", "high", "fwd_high", "default"):
+        raise ValueError(f"bad filter_precision {filter_precision!r}")
+    f32_hw = dtype == jnp.float32 and not interpret
+    split_fwd = filter_precision in ("high", "fwd_high") and f32_hw
+    split_inv = filter_precision == "high" and f32_hw
+    prec = (jax.lax.Precision.DEFAULT
+            if filter_precision in ("default", "fwd_high")
+            else jax.lax.Precision.HIGHEST)
+
+    def kernel(S_in, dxj_ref, dxh_ref, lat_ref, hm_ref, wall_ref,
+               sigt_ref, sigb_ref, sig_ref, dsig_ref,
+               CS_ref, CwSw_ref, mask_ref, nch_ref, ns_ref,
+               S_ref, ibuf, obuf, mwin, isem, osem):
+        del S_in  # aliased with S_ref; all access goes through S_ref
+        mk = pltpu.make_async_copy
+
+        def in_dmas(par, slot, j):
+            """The three input copies of block j (head/body/tail wrap)."""
+            r0 = j * tile_j
+            head = jax.lax.rem(r0 - hj + H, H)
+            tail = jax.lax.rem(r0 + tile_j, H)
+            return (
+                mk(S_ref.at[par, :, pl.ds(pl.multiple_of(head, 8), hj), :],
+                   ibuf.at[slot, :, 0:hj, :], isem.at[slot, 0]),
+                mk(S_ref.at[par, :, pl.ds(pl.multiple_of(r0, 8), tile_j), :],
+                   ibuf.at[slot, :, hj:hj + tile_j, :], isem.at[slot, 1]),
+                mk(S_ref.at[par, :, pl.ds(pl.multiple_of(tail, 8), hj), :],
+                   ibuf.at[slot, :, hj + tile_j:, :], isem.at[slot, 2]),
+            )
+
+        def out_dma(par, slot, j):
+            r0 = j * tile_j
+            return mk(obuf.at[slot],
+                      S_ref.at[1 - par, :,
+                               pl.ds(pl.multiple_of(r0, 8), tile_j), :],
+                      osem.at[slot])
+
+        def start_in(par, slot, j):
+            for c in in_dmas(par, slot, j):
+                c.start()
+
+        def wait_in(par, slot, j):
+            for c in in_dmas(par, slot, j):
+                c.wait()
+
+        def compute(j, win):
+            """v4 block body on the (NP, tj_in, W) input window."""
+            base = (win[0], win[1:1 + L], win[1 + L:1 + 2 * L],
+                    win[1 + 2 * L:1 + 3 * L], win[1 + 3 * L:NP])
+            r0 = pl.multiple_of(j * tile_j, 8)
+            rows = pl.ds(r0, tj_in)
+            lgeom = dataclasses.replace(
+                geom,
+                dx_j=dxj_ref[rows].reshape(1, tj_in, 1),
+                dx_h=dxh_ref[rows].reshape(1, tj_in, 1),
+                lat=lat_ref[rows],
+                heightmap=hm_ref[rows, :],
+                sigt=sigt_ref[:], sigb=sigb_ref[:],
+                sig=sig_ref[:], dsig=dsig_ref[:])
+            keep = 1.0 - wall_ref[rows]
+            # stage this block's mask rows into a scratch REF: the shared
+            # body's chunk loop needs ref loads (static sublanes + dynamic
+            # pl.ds lanes) — Mosaic cannot dynamic-slice a materialized
+            # array, and the whole-mask ref would need an unaligned
+            # dynamic sublane offset
+            mwin[:, :] = mask_ref[rows, :]
+            p_n, u_n, v_n, t_n, q_n = matsuno_block_body(
+                base, lgeom, keep, mwin, nch_ref[j, 0],
+                CS_ref, CwSw_ref,
+                dt, coriolis, split_fwd, split_inv, prec, dtype)
+            return jnp.concatenate(
+                [p_n[None], u_n, v_n, t_n, q_n], axis=0)
+
+        def step_body(s, _):
+            par = s % 2  # jnp promotion: s is i32 from the SMEM step count
+            start_in(par, 0, 0)
+
+            def block(j, _):
+                slot = jax.lax.rem(j, 2)
+
+                @pl.when(j + 1 < nj)
+                def _():
+                    start_in(par, jax.lax.rem(j + 1, 2), j + 1)
+
+                wait_in(par, slot, j)
+                packed = compute(j, ibuf[slot])
+
+                @pl.when(j >= 2)
+                def _():
+                    out_dma(par, slot, j - 2).wait()
+
+                obuf[slot] = packed
+                out_dma(par, slot, j).start()
+                return 0
+
+            jax.lax.fori_loop(0, nj, block, 0)
+            # all writes must land before the next step reads this buffer
+            out_dma(par, (nj - 2) % 2, nj - 2).wait()
+            out_dma(par, (nj - 1) % 2, nj - 1).wait()
+            return 0
+
+        # step count as DATA (SMEM scalar): every even K runs through one
+        # compiled kernel — a static bound would force a fresh (remote,
+        # tens-of-minutes) Mosaic compile per distinct steps value
+        jax.lax.fori_loop(0, ns_ref[0], step_body, 0)
+
+    (dxj_c, dxh_c, lat_c, hm_c, sigt_c, sigb_c, sig_c, dsig_c
+     ) = _geom_row_consts(geom, dtype, hj, 0)
+
+    def prep_mat(M, split):
+        M = jnp.asarray(M)
+        if not split:
+            return M
+        Mh = M.astype(jnp.bfloat16).astype(dtype)
+        return jnp.stack([Mh, M - Mh], axis=0)
+
+    CS_c = prep_mat(CS_np, split_fwd)
+    CwSw_c = prep_mat(CwSw_np, split_inv)
+    mask_c = jnp.asarray(mask_np)
+    wall_c = jnp.asarray(wall_np)
+    nch_c = jnp.asarray(nch_np)
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [vspec] * 12
+                 + [sspec, sspec],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((2, NP, H, W), dtype),
+        input_output_aliases={0: 0},
+        scratch_shapes=[
+            pltpu.VMEM((2, NP, tj_in, W), dtype),
+            pltpu.VMEM((2, NP, tile_j, W), dtype),
+            pltpu.VMEM((tj_in, ncols), dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes),
+        interpret=interpret,
+    )
+
+    ns_c = jnp.asarray([steps], jnp.int32)
+
+    def multi(S):
+        return call(S, dxj_c, dxh_c, lat_c, hm_c, wall_c,
+                    sigt_c, sigb_c, sig_c, dsig_c,
+                    CS_c, CwSw_c, mask_c, nch_c, ns_c)
+
+    return multi
+
+
+def make_stream_matsuno(geom, dt, steps_per_launch=8, coriolis=False,
+                        dtype=jnp.float32, tile_j=32,
+                        filter_precision="fwd_high", band_limit=True,
+                        interpret=False):
+    """Plain-state wrapper: ``advance(p,u,v,t,q, n) -> (p,u,v,t,q)``.
+
+    Packs once, scans the streaming kernel over ``n // steps_per_launch``
+    launches (n must be a multiple of steps_per_launch), unpacks once.
+    """
+    multi = make_stream_kernel(
+        geom, dt, steps_per_launch, coriolis=coriolis, dtype=dtype,
+        tile_j=tile_j, filter_precision=filter_precision,
+        band_limit=band_limit, interpret=interpret)
+    L = geom.layers
+
+    def advance(p, u, v, t, q, n):
+        if n % steps_per_launch:
+            raise ValueError(f"n={n} not a multiple of {steps_per_launch}")
+        packed = pack_state(*(x.astype(dtype) for x in (p, u, v, t, q)))
+        S = jnp.stack([packed, jnp.zeros_like(packed)])
+
+        def body(S, _):
+            return multi(S), None
+
+        S, _ = jax.lax.scan(body, S, None, length=n // steps_per_launch)
+        return unpack_state(S[0], L)
+
+    return advance

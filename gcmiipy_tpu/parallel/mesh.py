@@ -69,6 +69,26 @@ def state_shardings(mesh):
                         is_leaf=lambda x: isinstance(x, P))
 
 
+def ring_state_specs():
+    """PartitionSpecs for a latitude-ring ('y'-only) decomposition: the
+    production mesh layout of the fused lat-ring kernel
+    (``shard_step.make_shard_step_fused4``) — full longitude rows stay
+    on-chip so the zonal polar filter needs no communication."""
+    surf = P("y", None)
+    full = P(None, "y", None)
+    from gcmiipy_tpu.model.state import GroundVars, ModelState, PrognosticVars
+    prog = PrognosticVars(p=surf, u=full, v=full, t=full, q=full)
+    ground = GroundVars(gt=surf, gw=surf, snow=surf, ice=surf)
+    return ModelState(prog=prog, ground=ground, utc=P(), step=P())
+
+
+def ring_state_shardings(mesh):
+    """NamedShardings for a lat-ring ModelState."""
+    return jax.tree.map(lambda spec: NamedSharding(mesh, spec),
+                        ring_state_specs(),
+                        is_leaf=lambda x: isinstance(x, P))
+
+
 def geom_specs(geom):
     """PartitionSpecs for the Geom pytree: replicate the small per-row /
     per-layer tables; shard only the (J, I) heightmap and (J, nf) polar mask

@@ -258,7 +258,7 @@ def make_shard_step_fused(mesh, geom, dt, coriolis=False, dtype=np.float32,
 
 def make_shard_step_fused4(mesh, geom, dt, coriolis=False, dtype=np.float32,
                            tile_j=32, filter_precision="fwd_high",
-                           band_limit=True, interpret=False):
+                           band_limit=True, interpret=False, jit=True):
     """Whole-step (v4) mega kernel under the latitude-ring decomposition.
 
     Like :func:`make_shard_step_fused` but with BOTH Matsuno halves fused
@@ -270,7 +270,9 @@ def make_shard_step_fused4(mesh, geom, dt, coriolis=False, dtype=np.float32,
     heightmap, polar wall, banded mask, per-block filter trip counts) is
     pre-padded host-side — no geometry collectives at runtime.
 
-    Returns a jitted ``step(p, u, v, t, q)`` on arrays sharded P('y').
+    Returns a jitted ``step(p, u, v, t, q)`` on arrays sharded P('y');
+    with ``jit=False`` the raw (unjitted) step function is returned for
+    embedding in a larger jitted program (the driver's scan).
     """
     from gcmiipy_tpu.ops import pallas_stencil as ps, polar_filter
 
@@ -349,11 +351,10 @@ def make_shard_step_fused4(mesh, geom, dt, coriolis=False, dtype=np.float32,
     consts = tuple(put(a) for a in
                    (dxj_s, dxh_s, lat_s, hm_s, wall_s, mask_s, nch_s))
 
-    @jax.jit
     def run(p, u, v, t, q):
         return step(*consts, p, u, v, t, q)
 
-    return run
+    return jax.jit(run) if jit else run
 
 
 def shard_prognostics(prog, mesh):

@@ -166,7 +166,55 @@ def main():
                    f"rel {relN:.3e} (bound {args.rel_bound}); p drift "
                    f"{pdrift:.4f} Pa (bound {args.drift_bound_pa})")
 
-    finite = all(np.isfinite(a).all() for a in mN + fN)
+    # ---- gate 3: v5 streaming kernel vs the v4 kernel ---------------------
+    # both run matsuno_block_body on identical block contents, so on
+    # hardware the outputs are expected BITWISE equal — the gate bounds at
+    # the step-1 tolerance to stay robust, but prints the actual rel
+    from gcmiipy_tpu.ops import pallas_stream as pstream
+
+    step_m_fh = jax.jit(fused.make_fused_step(
+        geom, args.dt, dtype=jnp.float32, pipeline="mega4",
+        filter_precision="fwd_high", interpret=interpret))
+    K = max(2, args.steps - args.steps % 2)
+    adv = jax.jit(pstream.make_stream_matsuno(
+        geom, args.dt, steps_per_launch=K, interpret=interpret),
+        static_argnums=5)
+    sN = tuple(np.asarray(x) for x in jax.block_until_ready(
+        adv(*state, K)))
+    v4N = run_steps(step_m_fh, state, K)
+    rel = rel_diff(v4N, sN)
+    all_ok &= gate(f"stream {K}-step vs v4 (shared body)",
+                   rel < args.step1_rel_bound,
+                   f"max per-field rel = {rel:.3e} (expected ~0; bound "
+                   f"{args.step1_rel_bound})")
+
+    # ---- gate 4: lat-ring sharded fused4 on a 1-device 'y' mesh -----------
+    # the shard_map + Mosaic combination executing UN-interpreted on
+    # hardware (VERDICT round-2 item 3); vs the plain v4 pipeline this
+    # isolates the ppermute-ring + per-shard-geometry plumbing
+    from jax.sharding import Mesh
+
+    from gcmiipy_tpu.parallel import shard_step
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("y",))
+    step_sh = shard_step.make_shard_step_fused4(
+        mesh1, geom, args.dt, dtype=np.float32,
+        filter_precision="fwd_high", interpret=interpret)
+    sh1 = run_steps(step_sh, state, 1)
+    m1 = run_steps(step_m_fh, state, 1)
+    rel = rel_diff(m1, sh1)
+    all_ok &= gate("sharded fused4 (1-dev 'y' mesh) step-1 vs v4",
+                   rel < args.step1_rel_bound,
+                   f"max per-field rel = {rel:.3e} (bound "
+                   f"{args.step1_rel_bound})")
+    shN = run_steps(step_sh, state, args.steps)
+    v4n = run_steps(step_m_fh, state, args.steps)
+    relN = rel_diff(v4n, shN)
+    all_ok &= gate(f"sharded fused4 {args.steps}-step vs v4",
+                   relN < args.rel_bound,
+                   f"max per-field rel = {relN:.3e} (bound {args.rel_bound})")
+
+    finite = all(np.isfinite(a).all() for a in mN + fN + sN + shN)
     all_ok &= gate("all outputs finite", finite, "")
     return 0 if all_ok else 1
 

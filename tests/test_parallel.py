@@ -240,3 +240,53 @@ def test_shard_step_fused4_uneven_tile():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-9, atol=1e-9,
                                    err_msg=f"field {name}")
+
+
+def test_mesh_run_model_guarded_checkpointed(tmp_path):
+    """VERDICT #4: the lat-ring path as a production run path — a guarded,
+    stats-on, checkpointed run_model(..., mesh=...) on 8 virtual devices
+    matches the single-device run."""
+    from jax.sharding import Mesh
+
+    from gcmiipy_tpu.model.config import ModelConfig
+    from gcmiipy_tpu.model.driver import run_model
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("y",))
+    cfg = ModelConfig(backend="mega4", dtype="float64", guard=True,
+                      stats=True, checkpoint_dir=str(tmp_path),
+                      checkpoint_every=2)
+    out_m = run_model(64, 128, 2, 300.0, 4, config=cfg, mesh=mesh)
+
+    cfg1 = ModelConfig(backend="xla", dtype="float64", guard=True,
+                       stats=True)
+    out_1 = run_model(64, 128, 2, 300.0, 4, config=cfg1)
+
+    for name, a, b in zip("puvtq", out_1[:5], out_m[:5]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-9, atol=1e-9,
+                                   err_msg=f"field {name}")
+    # stats agree (energy reductions became psum-style collectives)
+    np.testing.assert_allclose(np.asarray(out_m[7].total_energy),
+                               np.asarray(out_1[7].total_energy),
+                               rtol=1e-9)
+    # checkpoints were written at steps 2 and 4
+    import glob
+    names = sorted(p.split("/")[-1] for p in glob.glob(str(tmp_path) + "/*"))
+    assert names == ["step_0000000002", "step_0000000004"]
+
+
+def test_mesh_run_model_xla_backend():
+    """mesh + backend='xla': GSPMD path through the same run_model door."""
+    from jax.sharding import Mesh
+
+    from gcmiipy_tpu.model.config import ModelConfig
+    from gcmiipy_tpu.model.driver import run_model
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("y",))
+    cfg = ModelConfig(backend="xla", dtype="float64", stats=False)
+    out_m = run_model(32, 64, 2, 300.0, 3, config=cfg, mesh=mesh)
+    out_1 = run_model(32, 64, 2, 300.0, 3, config=cfg)
+    for name, a, b in zip("puvtq", out_1[:5], out_m[:5]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-10, atol=1e-10,
+                                   err_msg=f"field {name}")
