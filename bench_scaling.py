@@ -158,8 +158,12 @@ def run_scaling(height, width, layers, steps, device_counts, paths,
 
     import numpy as np
 
+    # dft: the decomposition-friendly filter form — the circulant-matmul
+    # form makes GSPMD all-gather full rows (1.65x slower at 8 devices;
+    # artifacts/gspmd_cliff_diagnosis.md); the explicit-halo paths build
+    # their own filters and ignore this knob
     config = ModelConfig(height=height, width=width, layers=layers,
-                         dtype=dtype, polar_filter="matmul", stats=False)
+                         dtype=dtype, polar_filter="dft", stats=False)
     geom = geometry.gen_geometry(height, width, layers,
                                  sig_func=geometry.manabe_sig)
     geom = geom.astype(np.dtype(dtype))

@@ -206,7 +206,7 @@ def _make_stream_run_fn(geom, config, timesteps):
 
     from gcmiipy_tpu.dynamics.fused import fused_grid_supported
     from gcmiipy_tpu.ops import pallas_stream
-    from gcmiipy_tpu.ops.pallas_stencil import MEGA_MAX_WIDTH
+    from gcmiipy_tpu.ops.pallas_stream import STREAM_MAX_WIDTH
 
     if config.physics or config.drag_tau > 0 or config.shapiro_every > 0:
         raise ValueError(
@@ -214,11 +214,11 @@ def _make_stream_run_fn(geom, config, timesteps):
             "drag/Shapiro cannot run inside a multi-step launch); use "
             "'mega4' for full-featured runs")
     if (timesteps < 2 or not fused_grid_supported(geom)
-            or geom.width > MEGA_MAX_WIDTH or geom.height < 16):
+            or geom.width > STREAM_MAX_WIDTH or geom.height < 16):
         import dataclasses as _dc
         warnings.warn(
             f"backend 'stream' needs >= 2 steps and a grid with 8 | H "
-            f"(H >= 16) and 128 | W <= {MEGA_MAX_WIDTH}; "
+            f"(H >= 16) and 128 | W <= {STREAM_MAX_WIDTH}; "
             f"{timesteps} steps on {geom.height}x{geom.width} falls back "
             "to 'mega4'", stacklevel=2)
         return make_run_fn(geom, _dc.replace(config, backend="mega4"),

@@ -61,10 +61,18 @@ def unpack_state(packed, layers):
             packed[1 + 2 * L:1 + 3 * L], packed[1 + 3 * L:1 + 4 * L])
 
 
+# Widest grid the streaming kernel carries: past MEGA_MAX_WIDTH (the v4
+# limit) the DFT factor matrices are stored bf16-compact (see below) and
+# latitude tiles shrink, which fits W=2048 where v4 measured 172MB > the
+# 128MB chip.  Beyond 2048 the O(W^2) factors do not fit in any form.
+STREAM_MAX_WIDTH = 2048
+
+
 def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
-                       tile_j=32, filter_precision="fwd_high",
+                       tile_j=None, filter_precision="fwd_high",
                        band_limit=True, interpret=False,
-                       vmem_limit_bytes=125 * 1024 * 1024):
+                       vmem_limit_bytes=125 * 1024 * 1024,
+                       _copy_body=False):
     """Build ``multi(S) -> S`` running ``steps`` Matsuno steps in one launch.
 
     ``S`` is the packed double buffer ``(2, 1+4L, H, W)``: buffer 0 holds
@@ -81,10 +89,19 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
     NP = n_planes(L)
     if steps % 2:
         raise ValueError(f"steps must be even (buffer ping-pong), got {steps}")
-    if not interpret and W > MEGA_MAX_WIDTH:
+    if not interpret and W > STREAM_MAX_WIDTH:
         raise ValueError(
-            f"W={W} > {MEGA_MAX_WIDTH}: in-VMEM DFT factor matrices do not "
-            "fit — use the v1 'fused' pipeline or the XLA backend")
+            f"W={W} > {STREAM_MAX_WIDTH}: the O(W^2) DFT factor matrices do "
+            "not fit VMEM even bf16-compact — use the v1 'fused' pipeline "
+            "or the XLA backend")
+    # Wide grids (past the v4 limit): bf16-compact factor matrices + small
+    # latitude tiles.  Compact storage costs nothing extra in accuracy on
+    # the fwd_high/default paths — Precision.DEFAULT matmuls truncate f32
+    # matrix operands to bf16 on the MXU anyway; only the hi/lo residual
+    # term (already ~2^-16 relative) picks up its own bf16 rounding.
+    wide = W > MEGA_MAX_WIDTH and not interpret
+    if tile_j is None:
+        tile_j = 16 if wide else 32
     while H % tile_j or H // tile_j < 2:
         tile_j //= 2
         if tile_j < 8:
@@ -109,12 +126,19 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
         nch_np = block_chunk_counts(geom.polar_mask, tile_j, 4, tile_j + 12)
     else:
         nch_np = np.full((nj, 1), n_chunks_full, np.int32)
+    if _copy_body == "nofilter":   # perf probe: body without the filter MXU
+        nch_np = np.zeros_like(nch_np)
+        _copy_body = False
     wall_np = np.zeros((H, 1), dtype)
     wall_np[H - 1, 0] = 1.0
     wall_np = np.pad(wall_np, ((hj, hj), (0, 0)), mode="wrap")  # (Hp, 1)
 
     if filter_precision not in ("highest", "high", "fwd_high", "default"):
         raise ValueError(f"bad filter_precision {filter_precision!r}")
+    if wide and filter_precision == "highest":
+        raise ValueError(
+            "filter_precision='highest' needs f32-exact factor matrices, "
+            f"which do not fit VMEM at W={W}; use 'high'/'fwd_high'")
     f32_hw = dtype == jnp.float32 and not interpret
     split_fwd = filter_precision in ("high", "fwd_high") and f32_hw
     split_inv = filter_precision == "high" and f32_hw
@@ -160,6 +184,9 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
 
         def compute(j, win):
             """v4 block body on the (NP, tj_in, W) input window."""
+            if _copy_body:
+                # perf probe: DMA pipeline floor (numerically meaningless)
+                return win[:, hj:hj + tile_j, :]
             base = (win[0], win[1:1 + L], win[1 + L:1 + 2 * L],
                     win[1 + 2 * L:1 + 3 * L], win[1 + 3 * L:NP])
             r0 = pl.multiple_of(j * tile_j, 8)
@@ -224,10 +251,11 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
 
     def prep_mat(M, split):
         M = jnp.asarray(M)
+        store = jnp.bfloat16 if wide else dtype
         if not split:
-            return M
+            return M.astype(store) if wide else M
         Mh = M.astype(jnp.bfloat16).astype(dtype)
-        return jnp.stack([Mh, M - Mh], axis=0)
+        return jnp.stack([Mh, M - Mh], axis=0).astype(store)
 
     CS_c = prep_mat(CS_np, split_fwd)
     CwSw_c = prep_mat(CwSw_np, split_inv)
@@ -267,7 +295,7 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
 
 
 def make_stream_matsuno(geom, dt, steps_per_launch=8, coriolis=False,
-                        dtype=jnp.float32, tile_j=32,
+                        dtype=jnp.float32, tile_j=None,
                         filter_precision="fwd_high", band_limit=True,
                         interpret=False):
     """Plain-state wrapper: ``advance(p,u,v,t,q, n) -> (p,u,v,t,q)``.

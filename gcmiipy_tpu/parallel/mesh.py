@@ -14,10 +14,11 @@ Two execution paths build on this mesh:
 * shard_map (``gcmiipy_tpu/parallel/halo.py`` + ``shard_step.py``): explicit
   halo exchange (width 3 for the 2D decomposition, width PHJ=8 for the
   lat-ring fused path) via ``jax.lax.ppermute`` over ICI — the hand-tuned
-  path.  Exchanges happen at (half-)step boundaries ahead of the stencil
-  work; XLA's latency-hiding scheduler may overlap the ppermutes with
-  independent compute, but the kernels do not split interior/edge work
-  themselves.
+  path.  ``make_shard_step_fused4(overlap=True)`` splits each shard into
+  an interior strip whose kernel has no data dependence on the ppermutes
+  (the compiler runs the exchange underneath it) plus two edge-strip
+  kernels that consume the ring halo; ``overlap=False`` (default) runs
+  one kernel per shard after the exchange.
 """
 
 import jax

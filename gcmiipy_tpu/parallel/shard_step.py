@@ -258,7 +258,8 @@ def make_shard_step_fused(mesh, geom, dt, coriolis=False, dtype=np.float32,
 
 def make_shard_step_fused4(mesh, geom, dt, coriolis=False, dtype=np.float32,
                            tile_j=32, filter_precision="fwd_high",
-                           band_limit=True, interpret=False, jit=True):
+                           band_limit=True, interpret=False, jit=True,
+                           overlap=False):
     """Whole-step (v4) mega kernel under the latitude-ring decomposition.
 
     Like :func:`make_shard_step_fused` but with BOTH Matsuno halves fused
@@ -273,6 +274,17 @@ def make_shard_step_fused4(mesh, geom, dt, coriolis=False, dtype=np.float32,
     Returns a jitted ``step(p, u, v, t, q)`` on arrays sharded P('y');
     with ``jit=False`` the raw (unjitted) step function is returned for
     embedding in a larger jitted program (the driver's scan).
+
+    ``overlap=True`` splits each shard into an interior strip (rows
+    [tile_j, Hl - tile_j), whose PHJ-row input context is entirely local)
+    and two edge blocks that consume the ring halo: the interior kernel
+    has NO data dependence on the ppermutes, so the compiler is free to
+    run the halo exchange underneath it (XLA pairs the collective-permute
+    start/done around independent compute; SURVEY.md section 2.9
+    "overlapped with interior Pallas compute").  Identical numerics —
+    the same whole-step kernel runs on each strip with per-strip
+    geometry/trip-count tables.  Needs Hl >= 3 * tile_j (falls back to
+    the single-kernel form otherwise, with a warning).
     """
     from gcmiipy_tpu.ops import pallas_stencil as ps, polar_filter
 
@@ -290,47 +302,87 @@ def make_shard_step_fused4(mesh, geom, dt, coriolis=False, dtype=np.float32,
     tj = tile_j
     while Hl % tj:
         tj //= 2
+    if overlap and Hl < 3 * tj:
+        import warnings
+        warnings.warn(
+            f"overlap=True needs shard rows {Hl} >= 3 * tile_j {tj}; "
+            "running the single-kernel (non-overlapped) form", stacklevel=2)
+        overlap = False
 
-    step_kernel = ps.make_mega_step_kernel(
+    # strips: (row_lo within the shard, rows); the interior strip's input
+    # context [row_lo - PHJ, row_lo + rows + PHJ) is entirely local, so it
+    # carries no data dependence on the halo ppermutes
+    if overlap:
+        strips = [(0, tj), (tj, Hl - 2 * tj), (Hl - tj, tj)]
+    else:
+        strips = [(0, Hl)]
+
+    kernels = [ps.make_mega_step_kernel(
         geom, dt, coriolis=coriolis, dtype=jnp.dtype(dtype), tile_j=tj,
         filter_precision=filter_precision, band_limit=band_limit,
-        interpret=interpret, local_height=Hl, geom_as_args=True)
+        interpret=interpret, local_height=lh, geom_as_args=True)
+        for _, lh in strips]
 
     # ---- host-side per-shard padded geometry (wrap = the global ring) ----
-    def shard_rows(a2d):
-        """(H, ...) global -> (ny, Hl + 2*hj, ...) per-shard wrap-padded."""
-        a2d = np.asarray(a2d, dtype)
-        ap = np.pad(a2d, ((hj, hj),) + ((0, 0),) * (a2d.ndim - 1),
-                    mode="wrap")
-        return np.stack([ap[s * Hl:s * Hl + Hl + 2 * hj] for s in range(ny)])
-
-    dxj_s = shard_rows(np.asarray(geom.dx_j).reshape(H, 1))
-    dxh_s = shard_rows(np.asarray(geom.dx_h).reshape(H, 1))
-    lat_s = shard_rows(np.asarray(geom.lat).reshape(H, 1))
-    hm_s = shard_rows(geom.heightmap)
-    wall = np.zeros((H, 1), dtype)
-    wall[H - 1, 0] = 1.0
-    wall_s = shard_rows(wall)
     _, _, nb = polar_filter.banded_pair_matrices(W, dtype=np.dtype(dtype))
-    mask_s = shard_rows(polar_filter.banded_correction_mask_pair(
-        geom.polar_mask, nb, dtype=np.dtype(dtype)))
-    nj_local = Hl // tj
-    if band_limit:
-        nch_s = np.stack([
-            ps.block_chunk_counts(geom.polar_mask, tj, 4, tj + 12,
-                                  row_offset=s * Hl, nj=nj_local)
-            for s in range(ny)])
-    else:
-        nch_s = np.full((ny, nj_local, 1), nb // ps.FILTER_CHUNK, np.int32)
+    wall_np = np.zeros((H, 1), dtype)
+    wall_np[H - 1, 0] = 1.0
+    mask_np = polar_filter.banded_correction_mask_pair(
+        geom.polar_mask, nb, dtype=np.dtype(dtype))
 
-    def body(dxj, dxh, lat, hm, wall, mask, nch, p, u, v, t, q):
+    def strip_tables(row_lo, lh):
+        """Wrap-padded per-shard geometry arrays for shard rows
+        [row_lo, row_lo + lh), each padded by the PHJ halo."""
+        def rows(a2d):
+            a2d = np.asarray(a2d, dtype)
+            ap = np.pad(a2d, ((hj, hj),) + ((0, 0),) * (a2d.ndim - 1),
+                        mode="wrap")
+            return np.stack([ap[s * Hl + row_lo:
+                                s * Hl + row_lo + lh + 2 * hj]
+                             for s in range(ny)])
+
+        nj_l = lh // tj
+        if band_limit:
+            nch = np.stack([
+                ps.block_chunk_counts(geom.polar_mask, tj, 4, tj + 12,
+                                      row_offset=s * Hl + row_lo, nj=nj_l)
+                for s in range(ny)])
+        else:
+            nch = np.full((ny, nj_l, 1), nb // ps.FILTER_CHUNK, np.int32)
+        return (rows(np.asarray(geom.dx_j).reshape(H, 1)),
+                rows(np.asarray(geom.dx_h).reshape(H, 1)),
+                rows(np.asarray(geom.lat).reshape(H, 1)),
+                rows(geom.heightmap), rows(wall_np), rows(mask_np), nch)
+
+    tables = [strip_tables(lo, lh) for lo, lh in strips]
+    n_tabs = 7
+
+    def body(*args):
+        consts, fields = args[:-5], args[-5:]
         sq = lambda a: a[0]  # drop the leading shard axis
-        geom_arrays = (sq(dxj), sq(dxh), sq(lat), sq(hm), sq(wall),
-                       sq(mask), sq(nch))
+        geom_args = [tuple(sq(a) for a in consts[i * n_tabs:
+                                                 (i + 1) * n_tabs])
+                     for i in range(len(strips))]
         ring = lambda x: halo.exchange_axis(x, hj, "y", -2)
-        base = tuple(ring(x) for x in (p, u, v, t, q))
-        out = step_kernel(base, geom_arrays)   # wall applied in-kernel
-        return tuple(ps.core_rows(x) for x in out)
+
+        if not overlap:
+            base = tuple(ring(x) for x in fields)
+            out = kernels[0](base, geom_args[0])   # wall applied in-kernel
+            return tuple(ps.core_rows(x) for x in out)
+
+        # interior first: its inputs slice the PRE-exchange local rows, so
+        # the compiler can run the ppermutes underneath this kernel
+        int_in = tuple(x[..., tj - hj:Hl - tj + hj, :] for x in fields)
+        int_out = kernels[1](int_in, geom_args[1])
+        ringed = tuple(ring(x) for x in fields)
+        top_in = tuple(x[..., 0:tj + 2 * hj, :] for x in ringed)
+        bot_in = tuple(x[..., Hl - tj:Hl + 2 * hj, :] for x in ringed)
+        top_out = kernels[0](top_in, geom_args[0])
+        bot_out = kernels[2](bot_in, geom_args[2])
+        return tuple(
+            jnp.concatenate([ps.core_rows(a), ps.core_rows(b),
+                             ps.core_rows(c)], axis=-2)
+            for a, b, c in zip(top_out, int_out, bot_out))
 
     from jax import shard_map
 
@@ -340,7 +392,8 @@ def make_shard_step_fused4(mesh, geom, dt, coriolis=False, dtype=np.float32,
 
     step = shard_map(
         body, mesh=mesh,
-        in_specs=(gspec,) * 7 + (surf, full, full, full, full),
+        in_specs=(gspec,) * (n_tabs * len(strips))
+                 + (surf, full, full, full, full),
         out_specs=(surf, full, full, full, full),
         check_vma=False,
     )
@@ -348,8 +401,7 @@ def make_shard_step_fused4(mesh, geom, dt, coriolis=False, dtype=np.float32,
     def put(a):
         return jax.device_put(a, NamedSharding(mesh, gspec))
 
-    consts = tuple(put(a) for a in
-                   (dxj_s, dxh_s, lat_s, hm_s, wall_s, mask_s, nch_s))
+    consts = tuple(put(a) for tabs in tables for a in tabs)
 
     def run(p, u, v, t, q):
         return step(*consts, p, u, v, t, q)

@@ -290,3 +290,49 @@ def test_mesh_run_model_xla_backend():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-10, atol=1e-10,
                                    err_msg=f"field {name}")
+
+
+def test_shard_step_fused4_overlap():
+    """overlap=True (interior kernel independent of the halo ppermutes +
+    two edge-strip kernels) == the single-kernel lat-ring step == the
+    single-device core."""
+    from jax.sharding import Mesh
+
+    geom = geometry.gen_geometry(96, 128, 2, sig_func=geometry.manabe_sig)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("y",))  # 48 rows/shard
+    state = _initial(geom, seed=31)
+    step_ov = shard_step.make_shard_step_fused4(
+        mesh, geom, 300.0, dtype=np.float64, interpret=True, overlap=True)
+    step_pl = shard_step.make_shard_step_fused4(
+        mesh, geom, 300.0, dtype=np.float64, interpret=True)
+    out_ov = step_ov(*state)
+    out_pl = step_pl(*state)
+    for name, a, b in zip("puvtq", out_pl, out_ov):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-12, atol=1e-12,
+                                   err_msg=f"field {name}")
+
+
+def test_shard_step_fused4_overlap_fallback_small_shard():
+    """Shards too small for the interior/edge split fall back with a
+    warning and still compute correctly."""
+    import warnings as _w
+
+    from jax.sharding import Mesh
+
+    geom = geometry.gen_geometry(32, 128, 2, sig_func=geometry.manabe_sig)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("y",))  # 16 rows/shard
+    state = _initial(geom, seed=32)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        step_ov = shard_step.make_shard_step_fused4(
+            mesh, geom, 300.0, dtype=np.float64, interpret=True,
+            overlap=True, tile_j=16)
+    assert any("overlap" in str(w.message) for w in caught)
+    step_pl = shard_step.make_shard_step_fused4(
+        mesh, geom, 300.0, dtype=np.float64, interpret=True, tile_j=16)
+    out_ov = step_ov(*state)
+    out_pl = step_pl(*state)
+    for a, b in zip(out_pl, out_ov):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-12, atol=1e-12)
