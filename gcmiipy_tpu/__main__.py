@@ -42,6 +42,9 @@ def _add_run_args(ap):
     ap.add_argument("--convection", action="store_true",
                     help="dry convective adjustment (beyond-reference)")
     ap.add_argument("--coriolis", action="store_true")
+    ap.add_argument("--q-limiter", action="store_true",
+                    help="GCM-II ADVECQ +-0.5*QT horizontal q-flux clamp "
+                         "(the reference core's TODO, dynamics.py:218)")
     ap.add_argument("--drag-tau", type=float, default=0.0,
                     help="surface Rayleigh-drag e-folding time [s]")
     ap.add_argument("--shapiro-every", type=int, default=0,
@@ -104,7 +107,8 @@ def cmd_run(args):
     config = ModelConfig(
         dt=args.dt, giss_sige=args.giss_sige, ptop=args.ptop,
         physics=args.physics, convection=args.convection,
-        coriolis=args.coriolis, drag_tau=args.drag_tau,
+        coriolis=args.coriolis, q_limiter=args.q_limiter,
+        drag_tau=args.drag_tau,
         shapiro_every=args.shapiro_every, shapiro_order=args.shapiro_order,
         shapiro_fields=args.shapiro_fields,
         t_lw=args.t_lw, t_sw=args.t_sw, albedo=args.albedo,

@@ -42,13 +42,18 @@ def calc_pv(p, v):
 
 
 def un_pu(pu, p):
-    """Recover u from the zonal mass flux (reference dynamics.py:25-27)."""
-    return pu / iph(p)
+    """Recover u from the zonal mass flux (reference dynamics.py:25-27).
+
+    2D reciprocal + 3D multiply (not a broadcast 3D division): p is (H, W)
+    while pu is (L, H, W) — saves L-1 of the L VPU division passes at
+    ulp-level deviation; every backend shares this form."""
+    return pu * (1.0 / iph(p))
 
 
 def un_pv(pv, p):
-    """Recover v from the meridional mass flux (reference dynamics.py:30-32)."""
-    return pv / jph(p)
+    """Recover v from the meridional mass flux (reference dynamics.py:30-32).
+    2D reciprocal + 3D multiply; see :func:`un_pu`."""
+    return pv * (1.0 / jph(p))
 
 
 def _suffix_sum_k(x):
@@ -251,8 +256,32 @@ def advec_t(pu, pv, t, geom):
     return (tpu - imj(tpu)) * rdx_j + (tpv - ijm(tpv)) * rdy
 
 
+def advec_q_limited(pu, pv, q, qp, dt, geom):
+    """Flux-form horizontal advection of ``q`` with the GCM-II ADVECQ
+    +-0.5*QT flux clamp (reference ``port_one_d.py:239-258``): the tracer
+    mass a face may move in one half step is bounded by half the DONOR
+    cell's current tracer mass ``qp = q * p``.  The reference's 2.5D core
+    leaves this as a TODO (``dynamics.py:218``); the clamp is horizontal
+    only, matching GCM-II's ADVECQ (vertical tracer advection is
+    unclamped there too).
+
+    Returns the same tendency quantity as :func:`advec_t` (d(q*p)/dt
+    units); with weak winds (no face moving more than half its donor's
+    mass) it is EXACTLY advec_t.
+    """
+    rdx_j = 1.0 / jnp.asarray(geom.dx_j, q.dtype)
+    rdy = 1.0 / jnp.asarray(geom.dy, q.dtype)
+    half = 0.5 * qp
+    # per-face fractional mass moved this step (flux * dt / dx)
+    fx = pu * iph(q) * (dt * rdx_j)
+    fx = jnp.clip(fx, -ipj(half), half)     # donor i (fx>0) / i+1 (fx<0)
+    fy = pv * jph(q) * (dt * rdy)
+    fy = jnp.clip(fy, -ijp(half), half)     # donor j (fy>0) / j+1 (fy<0)
+    return ((fx - imj(fx)) + (fy - ijm(fy))) * (1.0 / dt)
+
+
 def half_timestep_parts(p, u, v, t, q, sp, su, sv, st, sq, spu, dt, geom,
-                        coriolis=False):
+                        coriolis=False, q_limiter=False):
     """Everything between the two polar-filter applications of a half step
     (reference dynamics.py:183-227).
 
@@ -282,7 +311,9 @@ def half_timestep_parts(p, u, v, t, q, sp, su, sv, st, sq, spu, dt, geom,
 
     rp_n = 1.0 / p_n
     t_n = (t * p - (advec_t(spu, spv, st, geom) + advec_sig(sd, st, geom)) * dt) * rp_n
-    q_n = (q * p - (advec_t(spu, spv, sq, geom) + advec_sig(sd, sq, geom)) * dt) * rp_n
+    adv_q = (advec_q_limited(spu, spv, sq, q * p, dt, geom) if q_limiter
+             else advec_t(spu, spv, sq, geom))
+    q_n = (q * p - (adv_q + advec_sig(sd, sq, geom)) * dt) * rp_n
 
     return p_n, v_n, t_n, q_n, pu_partial, pgu + phiu
 
@@ -306,7 +337,7 @@ def pgf_forces(sp, su, st, geom):
 
 
 def half_timestep_rest(p, u, v, t, q, sp, su, sv, st, sq, spu, dt, geom,
-                       coriolis=False):
+                       coriolis=False, q_limiter=False):
     """Half-step tendency assembly minus the PGF terms (which
     :func:`pgf_forces` provides).
 
@@ -334,13 +365,15 @@ def half_timestep_rest(p, u, v, t, q, sp, su, sv, st, sq, spu, dt, geom,
 
     rp_n = 1.0 / p_n
     t_n = (t * p - (advec_t(spu, spv, st, geom) + advec_sig(sd, st, geom)) * dt) * rp_n
-    q_n = (q * p - (advec_t(spu, spv, sq, geom) + advec_sig(sd, sq, geom)) * dt) * rp_n
+    adv_q = (advec_q_limited(spu, spv, sq, q * p, dt, geom) if q_limiter
+             else advec_t(spu, spv, sq, geom))
+    q_n = (q * p - (adv_q + advec_sig(sd, sq, geom)) * dt) * rp_n
 
     return p_n, pu_partial, pv_partial, t_n, q_n
 
 
 def half_timestep_v2(p, u, v, t, q, sp, su, sv, st, sq, dt, geom,
-                     filter_fn=None, coriolis=False):
+                     filter_fn=None, coriolis=False, q_limiter=False):
     """Half step with ONE batched polar-filter call (pgf-first pipeline).
 
     Numerically the same half step as :func:`half_timestep` (reference
@@ -358,16 +391,17 @@ def half_timestep_v2(p, u, v, t, q, sp, su, sv, st, sq, dt, geom,
     spu, pgfu = filt[:L], filt[L:]
 
     p_n, pu_partial, pv_partial, t_n, q_n = half_timestep_rest(
-        p, u, v, t, q, sp, su, sv, st, sq, spu, dt, geom, coriolis=coriolis)
+        p, u, v, t, q, sp, su, sv, st, sq, spu, dt, geom, coriolis=coriolis,
+        q_limiter=q_limiter)
 
-    u_n = (pu_partial - pgfu * dt) / iph(p_n)
-    v_n = (pv_partial - pg_phiv * dt) / jph(p_n)
+    u_n = (pu_partial - pgfu * dt) * (1.0 / iph(p_n))
+    v_n = (pv_partial - pg_phiv * dt) * (1.0 / jph(p_n))
     v_n = v_n.at[:, -1, :].set(0.0)  # polar wall (dynamics.py:222)
     return p_n, u_n, v_n, t_n, q_n
 
 
 def half_timestep(p, u, v, t, q, sp, su, sv, st, sq, dt, geom,
-                  filter_fn=None, coriolis=False):
+                  filter_fn=None, coriolis=False, q_limiter=False):
     """One forward(-backward) half step of the Matsuno scheme
     (reference dynamics.py:183-227).
 
@@ -382,7 +416,8 @@ def half_timestep(p, u, v, t, q, sp, su, sv, st, sq, dt, geom,
     spu = filter_fn(calc_pu(sp, su), geom)
 
     p_n, v_n, t_n, q_n, pu_partial, pg_phi = half_timestep_parts(
-        p, u, v, t, q, sp, su, sv, st, sq, spu, dt, geom, coriolis=coriolis)
+        p, u, v, t, q, sp, su, sv, st, sq, spu, dt, geom, coriolis=coriolis,
+        q_limiter=q_limiter)
 
     # filter the zonal pressure-gradient + geopotential force (dynamics.py:202)
     pgfu = filter_fn(pg_phi, geom)
@@ -396,11 +431,12 @@ def half_timestep(p, u, v, t, q, sp, su, sv, st, sq, dt, geom,
 
 
 def matsuno_timestep(p, u, v, t, q, dt, geom, boundary_conditions=None,
-                     filter_fn=None, coriolis=False):
+                     filter_fn=None, coriolis=False, q_limiter=False):
     """Full Matsuno (forward-backward predictor-corrector) step
     (reference dynamics.py:230-237)."""
     step = functools.partial(half_timestep, dt=dt, geom=geom,
-                             filter_fn=filter_fn, coriolis=coriolis)
+                             filter_fn=filter_fn, coriolis=coriolis,
+                             q_limiter=q_limiter)
     sp, su, sv, st, sq = step(p, u, v, t, q, p, u, v, t, q)
     if boundary_conditions:
         sp, su, sv, st, sq = boundary_conditions(sp, su, sv, st, sq, dt, geom)

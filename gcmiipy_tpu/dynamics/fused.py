@@ -14,13 +14,13 @@ from gcmiipy_tpu.ops import pallas_stencil, polar_filter
 
 def make_fused_matsuno(geom, dt, coriolis=False, dtype=jnp.float32,
                        filter_fn=None, tile_j=None, tile_i=None,
-                       interpret=False):
+                       interpret=False, q_limiter=False):
     """Build ``step(p,u,v,t,q) -> (p,u,v,t,q)`` running the fused kernel."""
     if filter_fn is None:
         filter_fn = polar_filter.arakawa_1977
     parts = pallas_stencil.make_fused_parts(
         geom, dt, coriolis=coriolis, dtype=dtype, tile_j=tile_j,
-        tile_i=tile_i, interpret=interpret)
+        tile_i=tile_i, interpret=interpret, q_limiter=q_limiter)
 
     def half(base, seval):
         p, u, v, t, q = base
@@ -44,7 +44,7 @@ def make_fused_matsuno(geom, dt, coriolis=False, dtype=jnp.float32,
 
 def make_fused_matsuno_padded(geom, dt, coriolis=False, dtype=jnp.float32,
                               filter_fn=None, tile_j=32, tile_i=None,
-                              interpret=False):
+                              interpret=False, q_limiter=False):
     """Matsuno step over padded-state arrays (see pallas_stencil.PHJ/PHX).
 
     ``step(padded_state) -> padded_state`` where padded_state is the
@@ -60,7 +60,7 @@ def make_fused_matsuno_padded(geom, dt, coriolis=False, dtype=jnp.float32,
         filter_fn = polar_filter.arakawa_1977
     parts = make_fused_parts_padded(
         geom, dt, coriolis=coriolis, dtype=dtype, tile_j=tile_j,
-        tile_i=tile_i, interpret=interpret)
+        tile_i=tile_i, interpret=interpret, q_limiter=q_limiter)
     H = geom.height
 
     def half(base_pad, seval_pad):
@@ -84,7 +84,7 @@ def make_fused_matsuno_padded(geom, dt, coriolis=False, dtype=jnp.float32,
         pgfu = filter_fn(pg_phi, geom)
         pu_n = pup - pgfu * dt
         iph_pn = (core_of(pn_pad) + shifted_core(pn_pad, 0, 1)) * 0.5
-        un_pad = pad_state(pu_n / iph_pn)
+        un_pad = pad_state(pu_n * (1.0 / iph_pn))
         return pn_pad, un_pad, vn_pad, tn_pad, qn_pad
 
     def step(p_pad, u_pad, v_pad, t_pad, q_pad):
@@ -97,7 +97,7 @@ def make_fused_matsuno_padded(geom, dt, coriolis=False, dtype=jnp.float32,
 
 def make_fused_matsuno_padded_v2(geom, dt, coriolis=False, dtype=jnp.float32,
                                  filter_fn=None, tile_j=32, tile_i=None,
-                                 interpret=False):
+                                 interpret=False, q_limiter=False):
     """Matsuno step over padded-state arrays, single-filter pipeline.
 
     Per half step:  pgf kernel -> ONE batched polar-filter call on the
@@ -117,7 +117,7 @@ def make_fused_matsuno_padded_v2(geom, dt, coriolis=False, dtype=jnp.float32,
                                   tile_i=tile_i, interpret=interpret)
     restk = make_rest_kernel_padded(geom, dt, coriolis=coriolis, dtype=dtype,
                                     tile_j=tile_j, tile_i=tile_i,
-                                    interpret=interpret)
+                                    interpret=interpret, q_limiter=q_limiter)
     H, L = geom.height, geom.layers
 
     def half(base_pad, seval_pad):
@@ -140,7 +140,7 @@ def make_fused_matsuno_padded_v2(geom, dt, coriolis=False, dtype=jnp.float32,
 
 def make_fused_matsuno_padded_v3(geom, dt, coriolis=False, dtype=jnp.float32,
                                  tile_j=32, filter_precision="high",
-                                 interpret=False):
+                                 interpret=False, q_limiter=False):
     """Matsuno step over ROWS-padded arrays (pallas_stencil.pad_rows),
     mega-kernel pipeline.
 
@@ -155,7 +155,8 @@ def make_fused_matsuno_padded_v3(geom, dt, coriolis=False, dtype=jnp.float32,
 
     half_kernel = make_mega_kernel_padded(
         geom, dt, coriolis=coriolis, dtype=dtype, tile_j=tile_j,
-        filter_precision=filter_precision, interpret=interpret)
+        filter_precision=filter_precision, interpret=interpret,
+        q_limiter=q_limiter)
     H = geom.height
 
     def half(base_pad, seval_pad):
@@ -173,7 +174,8 @@ def make_fused_matsuno_padded_v3(geom, dt, coriolis=False, dtype=jnp.float32,
 
 def make_fused_matsuno_padded_v4(geom, dt, coriolis=False, dtype=jnp.float32,
                                  tile_j=None, filter_precision="high",
-                                 interpret=False, band_limit=True):
+                                 interpret=False, band_limit=True,
+                                 q_limiter=False):
     """Matsuno step over ROWS-padded arrays: both halves in ONE kernel.
 
     The v3 mega-kernel is DMA/launch-bound; fusing predictor+corrector
@@ -195,7 +197,7 @@ def make_fused_matsuno_padded_v4(geom, dt, coriolis=False, dtype=jnp.float32,
     step_kernel = make_mega_step_kernel(
         geom, dt, coriolis=coriolis, dtype=dtype, tile_j=tile_j,
         filter_precision=filter_precision, interpret=interpret,
-        band_limit=band_limit)
+        band_limit=band_limit, q_limiter=q_limiter)
 
     def step(p_pad, u_pad, v_pad, t_pad, q_pad):
         out = step_kernel((p_pad, u_pad, v_pad, t_pad, q_pad))
@@ -212,7 +214,7 @@ def fused_grid_supported(geom):
 
 def make_fused_step(geom, dt, coriolis=False, dtype=jnp.float32,
                     filter_fn=None, tile_j=None, tile_i=None, interpret=None,
-                    pipeline="v1", filter_precision="high"):
+                    pipeline="v1", filter_precision="high", q_limiter=False):
     """Drop-in fused replacement for ``core25d.matsuno_timestep``:
     unpadded-state signature, padded-state pipeline inside.
 
@@ -233,7 +235,8 @@ def make_fused_step(geom, dt, coriolis=False, dtype=jnp.float32,
             f"grid {geom.height}x{geom.width} falls back to the XLA core "
             "(same numerics, ~5x slower)", stacklevel=2)
         return lambda *s: core25d.matsuno_timestep(
-            *s, dt, geom, filter_fn=filter_fn, coriolis=coriolis)
+            *s, dt, geom, filter_fn=filter_fn, coriolis=coriolis,
+            q_limiter=q_limiter)
 
     if interpret is None:
         import jax
@@ -255,19 +258,21 @@ def make_fused_step(geom, dt, coriolis=False, dtype=jnp.float32,
     if pipeline == "mega4":
         step_padded = make_fused_matsuno_padded_v4(
             geom, dt, coriolis=coriolis, dtype=dtype, tile_j=tile_j,
-            filter_precision=filter_precision, interpret=interpret)
+            filter_precision=filter_precision, interpret=interpret,
+            q_limiter=q_limiter)
         pad_fn, core_fn = pad_rows, core_rows
     elif pipeline == "mega":
         step_padded = make_fused_matsuno_padded_v3(
             geom, dt, coriolis=coriolis, dtype=dtype,
             tile_j=32 if tile_j is None else tile_j,
-            filter_precision=filter_precision, interpret=interpret)
+            filter_precision=filter_precision, interpret=interpret,
+            q_limiter=q_limiter)
         pad_fn, core_fn = pad_rows, core_rows
     else:
         step_padded = make_fused_matsuno_padded(
             geom, dt, coriolis=coriolis, dtype=dtype, filter_fn=filter_fn,
             tile_j=32 if tile_j is None else tile_j,
-            tile_i=tile_i, interpret=interpret)
+            tile_i=tile_i, interpret=interpret, q_limiter=q_limiter)
         pad_fn, core_fn = pad_state, core_of
 
     def step(p, u, v, t, q):

@@ -87,6 +87,10 @@ class ModelConfig:
     # Steps per launch of the 'stream' backend (must be even; guard and
     # stats operate at this granularity there)
     stream_steps: int = 20
+    # GCM-II ADVECQ +-0.5*QT horizontal flux clamp on the q advection
+    # (reference port_one_d.py:239-258; the reference 2.5D core's own TODO
+    # at dynamics.py:218).  Off by default for reference parity.
+    q_limiter: bool = False
     # Matmul precision of the mega backends' in-kernel DFT filter:
     # 'high' (split-bf16 fwd+inv, ~1e-5 filter err), 'fwd_high' (split
     # fwd only — near-'high' accuracy at 2/3 the MXU cost), 'highest'

@@ -102,16 +102,19 @@ def make_dynamics_step(geom, config, filter_fn, mesh=None):
             mesh, geom, config.dt, coriolis=config.coriolis,
             dtype=np.dtype(config.dtype),
             filter_precision=config.filter_precision,
-            interpret=_jax.default_backend() != "tpu", jit=False)
+            interpret=_jax.default_backend() != "tpu", jit=False,
+            q_limiter=config.q_limiter)
     if backend in ("fused", "mega", "mega4"):
         from gcmiipy_tpu.dynamics import fused
         return fused.make_fused_step(
             geom, config.dt, coriolis=config.coriolis,
             dtype=jnp.dtype(config.dtype), filter_fn=filter_fn,
             pipeline="v1" if backend == "fused" else backend,
-            filter_precision=config.filter_precision)
+            filter_precision=config.filter_precision,
+            q_limiter=config.q_limiter)
     return lambda *s: core25d.matsuno_timestep(
-        *s, config.dt, geom, filter_fn=filter_fn, coriolis=config.coriolis)
+        *s, config.dt, geom, filter_fn=filter_fn, coriolis=config.coriolis,
+        q_limiter=config.q_limiter)
 
 
 def full_timestep(state: ModelState, geom, config, filter_fn,
@@ -236,7 +239,8 @@ def _make_stream_run_fn(geom, config, timesteps):
     def make_k(k):
         return pallas_stream.make_stream_kernel(
             geom, config.dt, k, coriolis=config.coriolis, dtype=dtype,
-            filter_precision=config.filter_precision, interpret=interpret)
+            filter_precision=config.filter_precision, interpret=interpret,
+            q_limiter=config.q_limiter)
 
     multi = make_k(K)
     multi_rem = make_k(rem_even) if rem_even else None

@@ -39,7 +39,8 @@ def wrap_pad(x, halo_j=HALO_J, halo_x=HALO_X):
 
 
 def make_fused_parts(geom, dt, coriolis=False, dtype=jnp.float32,
-                     tile_j=None, tile_i=None, interpret=False):
+                     tile_j=None, tile_i=None, interpret=False,
+                     q_limiter=False):
     """Build ``fused(p,u,v,t,q, sp,su,sv,st,sq, spu) -> 6 outputs``.
 
     All inputs are UNpadded (L,H,W)/(H,W) arrays; the wrapper pads, runs the
@@ -122,7 +123,8 @@ def make_fused_parts(geom, dt, coriolis=False, dtype=jnp.float32,
         outs = core25d.half_timestep_parts(
             p_ref[:], u_ref[:], v_ref[:], t_ref[:], q_ref[:],
             sp_ref[:], su_ref[:], sv_ref[:], st_ref[:], sq_ref[:],
-            spu_ref[:], dt, lgeom, coriolis=coriolis)
+            spu_ref[:], dt, lgeom, coriolis=coriolis,
+            q_limiter=q_limiter)
         core = lambda x: x[..., h:-h, hx:-hx]
         p_n, v_n, t_n, q_n, pu_partial, pg_phi = outs
         pn_ref[:] = core(p_n)
@@ -217,7 +219,8 @@ def refresh_halo(x):
 
 
 def make_fused_parts_padded(geom, dt, coriolis=False, dtype=jnp.float32,
-                            tile_j=64, tile_i=None, interpret=False):
+                            tile_j=64, tile_i=None, interpret=False,
+                            q_limiter=False):
     """Fused half-step kernel operating on padded-state arrays.
 
     Inputs: 11 padded-state fields.  Outputs: p_n, v_n, t_n, q_n in
@@ -303,7 +306,8 @@ def make_fused_parts_padded(geom, dt, coriolis=False, dtype=jnp.float32,
         outs = core25d.half_timestep_parts(
             p_ref[:], u_ref[:], v_ref[:], t_ref[:], q_ref[:],
             sp_ref[:], su_ref[:], sv_ref[:], st_ref[:], sq_ref[:],
-            spu_ref[:], dt, lgeom, coriolis=coriolis)
+            spu_ref[:], dt, lgeom, coriolis=coriolis,
+            q_limiter=q_limiter)
         ctr = lambda x: x[..., hj:-hj, hx:-hx]
         p_n, v_n, t_n, q_n, pu_partial, pg_phi = outs
         pn_ref[:] = ctr(p_n)
@@ -462,7 +466,8 @@ def make_pgf_kernel_padded(geom, dtype=jnp.float32, tile_j=32, tile_i=None,
 
 
 def make_rest_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
-                            tile_j=32, tile_i=None, interpret=False):
+                            tile_j=32, tile_i=None, interpret=False,
+                            q_limiter=False):
     """Back kernel of the v2 pipeline: everything downstream of the filter.
 
     Inputs: 10 padded-state fields, the filtered stack [spu; pgfu] — spu
@@ -527,13 +532,14 @@ def make_rest_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
         p_n, pu_partial, pv_partial, t_n, q_n = core25d.half_timestep_rest(
             p_ref[:], u_ref[:], v_ref[:], t_ref[:], q_ref[:],
             sp_ref[:], su_ref[:], sv_ref[:], st_ref[:], sq_ref[:],
-            spu_ref[:], dt, lgeom, coriolis=coriolis)
+            spu_ref[:], dt, lgeom, coriolis=coriolis,
+            q_limiter=q_limiter)
         ctr = lambda x: x[..., hj:-hj, hx:-hx]
-        iph_pn = ctr(stencil.iph(p_n))
-        jph_pn = ctr(stencil.jph(p_n))
+        riph_pn = 1.0 / ctr(stencil.iph(p_n))
+        rjph_pn = 1.0 / ctr(stencil.jph(p_n))
         pn_ref[:] = ctr(p_n)
-        un_ref[:] = (ctr(pu_partial) - pgfu_ref[:] * dt) / iph_pn
-        vn_ref[:] = (ctr(pv_partial) - pgphiv_ref[:] * dt) / jph_pn
+        un_ref[:] = (ctr(pu_partial) - pgfu_ref[:] * dt) * riph_pn
+        vn_ref[:] = (ctr(pv_partial) - pgphiv_ref[:] * dt) * rjph_pn
         tn_ref[:] = ctr(t_n)
         qn_ref[:] = ctr(q_n)
 
@@ -609,7 +615,7 @@ def refresh_rows(x):
 def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
                             tile_j=32, filter_precision="high",
                             interpret=False, local_height=None,
-                            geom_as_args=False):
+                            geom_as_args=False, q_limiter=False):
     """Whole half step as one kernel over padded-state fields.
 
     ``filter_precision``: "highest" = 6-pass bf16 matmuls (f32-exact),
@@ -776,11 +782,11 @@ def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
         p_n, pu_partial, pv_partial, t_n, q_n = core25d.half_timestep_rest(
             p_ref[:], u_ref[:], v_ref[:], t_ref[:], q_ref[:],
             sp_ref[:], su_ref[:], sv_ref[:], st_ref[:], sq_ref[:],
-            spu_f, dt, lgeom, coriolis=coriolis)
+            spu_f, dt, lgeom, coriolis=coriolis, q_limiter=q_limiter)
         ctr = lambda x: x[..., hj:-hj, :]
         pn_ref[:] = ctr(p_n)
-        un_ref[:] = (ctr(pu_partial) - pgfu * dt) / ctr(stencil.iph(p_n))
-        vn_ref[:] = (ctr(pv_partial) - ctr(pg_phiv) * dt) / ctr(stencil.jph(p_n))
+        un_ref[:] = (ctr(pu_partial) - pgfu * dt) * (1.0 / ctr(stencil.iph(p_n)))
+        vn_ref[:] = (ctr(pv_partial) - ctr(pg_phiv) * dt) * (1.0 / ctr(stencil.jph(p_n)))
         tn_ref[:] = ctr(t_n)
         qn_ref[:] = ctr(q_n)
 
@@ -906,7 +912,8 @@ def block_chunk_counts(polar_mask, tile_j, lo, hi, row_offset=0, nj=None,
 
 
 def matsuno_block_body(base, lgeom, keep, mask_ref, nch, CS_ref, CwSw_ref,
-                       dt, coriolis, split_fwd, split_inv, prec, dtype):
+                       dt, coriolis, split_fwd, split_inv, prec, dtype,
+                       q_limiter=False):
     """BOTH Matsuno halves (predictor + corrector, incl. the two banded
     in-VMEM DFT polar-filter rounds) on one rows-padded latitude block.
 
@@ -1007,12 +1014,16 @@ def matsuno_block_body(base, lgeom, keep, mask_ref, nch, CS_ref, CwSw_ref,
         spu_f, pgfu = filter_round(spu_raw, pg_phi)
         p_n, pup, pvp, t_n, q_n = core25d.half_timestep_rest(
             *hbase, sp, su, sv, st, sq, spu_f, dt, lgeom,
-            coriolis=coriolis)
+            coriolis=coriolis, q_limiter=q_limiter)
         w = lambda x: x[..., lo:hi, :]
-        iph_pn = w(stencil.iph(p_n))
-        jph_pn = w(stencil.jph(p_n))
-        u_n = (w(pup) - pgfu * dt) / iph_pn
-        v_n = ((w(pvp) - w(pg_phiv) * dt) / jph_pn) * keep[lo:hi]
+        # 2D reciprocals, 3D multiplies: p_n is (rows, W), so dividing the
+        # (L, rows, W) momentum by its broadcast costs L 3D-divisions —
+        # one 2D rcp + a 3D mul is ~L x cheaper on the VPU (ulp-level
+        # deviation only; all kernel AND XLA paths share this form)
+        riph_pn = 1.0 / w(stencil.iph(p_n))
+        rjph_pn = 1.0 / w(stencil.jph(p_n))
+        u_n = (w(pup) - pgfu * dt) * riph_pn
+        v_n = ((w(pvp) - w(pg_phiv) * dt) * rjph_pn) * keep[lo:hi]
         if out_window:
             return w(p_n), u_n, v_n, w(t_n), w(q_n)
         # embed into full blocks for the corrector's stencil reads
@@ -1033,7 +1044,8 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
                           tile_j=None, filter_precision="high",
                           interpret=False, band_limit=True,
                           local_height=None, geom_as_args=False,
-                          vmem_limit_bytes=125 * 1024 * 1024):
+                          vmem_limit_bytes=125 * 1024 * 1024,
+                          q_limiter=False):
     """Whole Matsuno STEP as one kernel over rows-padded fields.
 
     Returns ``step5(base_pad_5tuple) -> 5 rows-padded outputs`` with stale
@@ -1183,7 +1195,8 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
         p_n, u_n, v_n, t_n, q_n = matsuno_block_body(
             base, lgeom, keep, mask_ref,
             nch_ref[pl.program_id(0), 0], CS_ref, CwSw_ref,
-            dt, coriolis, split_fwd, split_inv, prec, dtype)
+            dt, coriolis, split_fwd, split_inv, prec, dtype,
+            q_limiter=q_limiter)
         pn_ref[:] = p_n
         un_ref[:] = u_n
         vn_ref[:] = v_n

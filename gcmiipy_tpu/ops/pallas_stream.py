@@ -72,7 +72,7 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
                        tile_j=None, filter_precision="fwd_high",
                        band_limit=True, interpret=False,
                        vmem_limit_bytes=125 * 1024 * 1024,
-                       _copy_body=False):
+                       q_limiter=False, _copy_body=False):
     """Build ``multi(S) -> S`` running ``steps`` Matsuno steps in one launch.
 
     ``S`` is the packed double buffer ``(2, 1+4L, H, W)``: buffer 0 holds
@@ -101,7 +101,11 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
     # term (already ~2^-16 relative) picks up its own bf16 rounding.
     wide = W > MEGA_MAX_WIDTH and not interpret
     if tile_j is None:
-        tile_j = 16 if wide else 32
+        from gcmiipy_tpu.ops.pallas_stencil import default_step_tile_j
+        # measured (v5e, 9x512x1024, 200-step): tj=64 1.886-1.983 ms/step
+        # vs tj=32 1.946-2.009 — the body amplification win (1.25x vs
+        # 1.5x) slightly beats the coarser filter-band granularity
+        tile_j = 16 if wide else default_step_tile_j(W, L)
     while H % tile_j or H // tile_j < 2:
         tile_j //= 2
         if tile_j < 8:
@@ -209,7 +213,8 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
             p_n, u_n, v_n, t_n, q_n = matsuno_block_body(
                 base, lgeom, keep, mwin, nch_ref[j, 0],
                 CS_ref, CwSw_ref,
-                dt, coriolis, split_fwd, split_inv, prec, dtype)
+                dt, coriolis, split_fwd, split_inv, prec, dtype,
+                q_limiter=q_limiter)
             return jnp.concatenate(
                 [p_n[None], u_n, v_n, t_n, q_n], axis=0)
 
@@ -297,7 +302,7 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
 def make_stream_matsuno(geom, dt, steps_per_launch=8, coriolis=False,
                         dtype=jnp.float32, tile_j=None,
                         filter_precision="fwd_high", band_limit=True,
-                        interpret=False):
+                        interpret=False, q_limiter=False):
     """Plain-state wrapper: ``advance(p,u,v,t,q, n) -> (p,u,v,t,q)``.
 
     Packs once, scans the streaming kernel over ``n // steps_per_launch``
@@ -306,7 +311,7 @@ def make_stream_matsuno(geom, dt, steps_per_launch=8, coriolis=False,
     multi = make_stream_kernel(
         geom, dt, steps_per_launch, coriolis=coriolis, dtype=dtype,
         tile_j=tile_j, filter_precision=filter_precision,
-        band_limit=band_limit, interpret=interpret)
+        band_limit=band_limit, interpret=interpret, q_limiter=q_limiter)
     L = geom.layers
 
     def advance(p, u, v, t, q, n):

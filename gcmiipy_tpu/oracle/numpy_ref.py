@@ -147,7 +147,22 @@ def advec_t_np(pu, pv, t, geom):
     return (tpu - imj(tpu)) / geom.dx_j + (tpv - ijm(tpv)) / geom.dy
 
 
-def half_timestep_np(p, u, v, t, q, sp, su, sv, st, sq, dt, geom):
+def advec_q_limited_np(pu, pv, q, qp, dt, geom):
+    """GCM-II ADVECQ +-0.5*QT clamped horizontal q advection (reference
+    port_one_d.py:239-258 generalized to 2D); oracle twin of
+    core25d.advec_q_limited."""
+    rdx_j = 1.0 / np.asarray(geom.dx_j)
+    rdy = 1.0 / float(geom.dy)
+    half = 0.5 * qp
+    fx = pu * iph(q) * (dt * rdx_j)
+    fx = np.clip(fx, -ipj(half), half)
+    fy = pv * jph(q) * (dt * rdy)
+    fy = np.clip(fy, -ijp(half), half)
+    return ((fx - imj(fx)) + (fy - ijm(fy))) / dt
+
+
+def half_timestep_np(p, u, v, t, q, sp, su, sv, st, sq, dt, geom,
+                     q_limiter=False):
     pu = u * iph(p)
     spu = arakawa_1977_np(su * iph(sp), geom)
     pv = v * jph(p)
@@ -171,14 +186,17 @@ def half_timestep_np(p, u, v, t, q, sp, su, sv, st, sq, dt, geom):
 
     t_n = (t * p - (advec_t_np(spu, spv, st, geom)
                     + advec_sig_np(sd, st, geom)) * dt) / p_n
-    q_n = (q * p - (advec_t_np(spu, spv, sq, geom)
-                    + advec_sig_np(sd, sq, geom)) * dt) / p_n
+    adv_q = (advec_q_limited_np(spu, spv, sq, q * p, dt, geom) if q_limiter
+             else advec_t_np(spu, spv, sq, geom))
+    q_n = (q * p - (adv_q + advec_sig_np(sd, sq, geom)) * dt) / p_n
 
     v_n[:, -1, :] = 0.0
     return p_n, u_n, v_n, t_n, q_n
 
 
-def matsuno_timestep_np(p, u, v, t, q, dt, geom):
+def matsuno_timestep_np(p, u, v, t, q, dt, geom, q_limiter=False):
     """Matsuno predictor-corrector (reference dynamics.py:230-237)."""
-    s = half_timestep_np(p, u, v, t, q, p, u, v, t, q, dt, geom)
-    return half_timestep_np(p, u, v, t, q, *s, dt, geom)
+    s = half_timestep_np(p, u, v, t, q, p, u, v, t, q, dt, geom,
+                         q_limiter=q_limiter)
+    return half_timestep_np(p, u, v, t, q, *s, dt, geom,
+                            q_limiter=q_limiter)

@@ -259,7 +259,7 @@ def make_shard_step_fused(mesh, geom, dt, coriolis=False, dtype=np.float32,
 def make_shard_step_fused4(mesh, geom, dt, coriolis=False, dtype=np.float32,
                            tile_j=32, filter_precision="fwd_high",
                            band_limit=True, interpret=False, jit=True,
-                           overlap=False):
+                           overlap=False, q_limiter=False):
     """Whole-step (v4) mega kernel under the latitude-ring decomposition.
 
     Like :func:`make_shard_step_fused` but with BOTH Matsuno halves fused
@@ -320,7 +320,8 @@ def make_shard_step_fused4(mesh, geom, dt, coriolis=False, dtype=np.float32,
     kernels = [ps.make_mega_step_kernel(
         geom, dt, coriolis=coriolis, dtype=jnp.dtype(dtype), tile_j=tj,
         filter_precision=filter_precision, band_limit=band_limit,
-        interpret=interpret, local_height=lh, geom_as_args=True)
+        interpret=interpret, local_height=lh, geom_as_args=True,
+        q_limiter=q_limiter)
         for _, lh in strips]
 
     # ---- host-side per-shard padded geometry (wrap = the global ring) ----

@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gcmiipy_tpu import constants
 from gcmiipy_tpu.dynamics import core25d, energy
 from gcmiipy_tpu.grid import geometry
 from gcmiipy_tpu.model import state as state_mod
@@ -164,3 +165,119 @@ def test_calc_energy_positive_components():
     np.testing.assert_allclose(float(tot), float(ke + ate + geo))
     # KE = 0.5 m v^2 check: airmass * 100 / 2
     assert float(ke) / float(ate) < 1e-3  # KE tiny vs thermal energy
+
+
+def test_q_limiter_matches_oracle():
+    """core25d with the GCM-II +-0.5*QT q-flux clamp == the NumPy oracle
+    extension at f64 over 5 steps."""
+    from gcmiipy_tpu.oracle import numpy_ref
+
+    geom = geometry.gen_geometry(16, 24, 3, sig_func=geometry.manabe_sig)
+    rng = np.random.default_rng(40)
+    H, W, L = 16, 24, 3
+    p = 1e5 * (1 + 1e-3 * rng.standard_normal((H, W)))
+    u = 30.0 * rng.standard_normal((L, H, W))   # strong winds: clamp active
+    v = 30.0 * rng.standard_normal((L, H, W))
+    tp = p[None] * np.asarray(geom.sig) + float(geom.ptop)
+    t = (300.0 + rng.standard_normal((L, H, W))) \
+        * (constants.P0 / tp) ** constants.kappa
+    q = 1e-5 * (1 + 0.1 * rng.random((L, H, W)))
+    state_j = tuple(jnp.asarray(x) for x in (p, u, v, t, q))
+    state_o = (p, u, v, t, q)
+    for _ in range(5):
+        state_j = core25d.matsuno_timestep(*state_j, 60.0, geom,
+                                           q_limiter=True)
+        state_o = numpy_ref.matsuno_timestep_np(*state_o, 60.0, geom,
+                                                q_limiter=True)
+    for name, a, b in zip("puvtq", state_o, state_j):
+        np.testing.assert_allclose(np.asarray(b), a, rtol=1e-10, atol=1e-12,
+                                   err_msg=f"field {name}")
+
+
+def test_q_limiter_weak_winds_identity():
+    """With weak winds no face moves half its donor's mass: the clamp is
+    EXACTLY advec_t."""
+    geom = geometry.gen_geometry(16, 24, 3, sig_func=geometry.manabe_sig)
+    rng = np.random.default_rng(41)
+    H, W, L = 16, 24, 3
+    p = jnp.asarray(1e5 * np.ones((H, W)))
+    u = jnp.asarray(0.5 * rng.standard_normal((L, H, W)))
+    v = jnp.asarray(0.5 * rng.standard_normal((L, H, W)))
+    q = jnp.asarray(1e-5 * (1 + 0.1 * rng.random((L, H, W))))
+    pu = core25d.calc_pu(p, u)
+    pv = core25d.calc_pv(p, v)
+    lim = core25d.advec_q_limited(pu, pv, q, q * p, 60.0, geom)
+    unl = core25d.advec_t(pu, pv, q, geom)
+    np.testing.assert_allclose(np.asarray(lim), np.asarray(unl),
+                               rtol=1e-12, atol=1e-20)
+
+
+def test_q_limiter_bounds_face_flux():
+    """Under violent winds the clamp keeps every face's per-step tracer
+    transfer within half the donor mass (the unclamped form exceeds it)."""
+    from gcmiipy_tpu.ops.stencil import iph, ipj
+
+    geom = geometry.gen_geometry(16, 24, 3, sig_func=geometry.manabe_sig)
+    rng = np.random.default_rng(42)
+    H, W, L = 16, 24, 3
+    p = jnp.asarray(1e5 * np.ones((H, W)))
+    u = jnp.asarray(3000.0 * rng.standard_normal((L, H, W)))
+    v = jnp.zeros((L, H, W))
+    q = jnp.asarray(1e-5 * (1 + 0.1 * rng.random((L, H, W))))
+    dt = 60.0
+    pu = core25d.calc_pu(p, u)
+    qp = q * p
+    rdx = 1.0 / jnp.asarray(geom.dx_j)
+    raw = np.asarray(pu * iph(q) * (dt * rdx))
+    half = np.asarray(0.5 * qp)
+    assert (raw > half).any()   # the clamp has something to do
+    clamped = np.clip(raw, -np.asarray(ipj(0.5 * qp)), half)
+    assert (clamped <= half + 1e-18).all()
+    # and the tendency built from clamped fluxes differs from the raw one
+    lim = core25d.advec_q_limited(pu, jnp.zeros_like(pu), q, qp, dt, geom)
+    unl = core25d.advec_t(pu, jnp.zeros_like(pu), q, geom)
+    assert not np.allclose(np.asarray(lim), np.asarray(unl))
+
+
+def test_q_limiter_in_kernels():
+    """The v4 kernel and the streaming kernel inherit the clamp through
+    the shared body (interpret mode, f64)."""
+    from gcmiipy_tpu.dynamics import fused
+    from gcmiipy_tpu.ops import pallas_stream as pstream
+    from gcmiipy_tpu.ops import pallas_stencil as ps
+
+    geom = geometry.gen_geometry(16, 128, 3, sig_func=geometry.manabe_sig)
+    rng = np.random.default_rng(43)
+    H, W, L = 16, 128, 3
+    p = jnp.asarray(1e5 * (1 + 1e-3 * rng.standard_normal((H, W))))
+    u = jnp.asarray(30.0 * rng.standard_normal((L, H, W)))
+    v = jnp.asarray(30.0 * rng.standard_normal((L, H, W)))
+    tp = np.asarray(p)[None] * np.asarray(geom.sig) + float(geom.ptop)
+    t = jnp.asarray((300.0 + rng.standard_normal((L, H, W)))
+                    * (constants.P0 / tp) ** constants.kappa)
+    q = jnp.asarray(1e-5 * (1 + 0.1 * rng.random((L, H, W))))
+    state = (p, u, v, t, q)
+
+    ref = state
+    for _ in range(2):
+        ref = core25d.matsuno_timestep(*ref, 60.0, geom, q_limiter=True)
+
+    step4 = fused.make_fused_matsuno_padded_v4(
+        geom, 60.0, dtype=jnp.float64, interpret=True, q_limiter=True)
+    st = tuple(ps.pad_rows(x) for x in state)
+    for _ in range(2):
+        st = step4(*st)
+    out4 = tuple(ps.core_rows(x) for x in st)
+    for name, a, b in zip("puvtq", ref, out4):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-11, atol=1e-11,
+                                   err_msg=f"v4 field {name}")
+
+    adv = pstream.make_stream_matsuno(geom, 60.0, steps_per_launch=2,
+                                      dtype=jnp.float64, tile_j=8,
+                                      interpret=True, q_limiter=True)
+    outs = adv(*state, 2)
+    for name, a, b in zip("puvtq", ref, outs):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-11, atol=1e-11,
+                                   err_msg=f"stream field {name}")
