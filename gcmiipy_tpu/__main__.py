@@ -41,6 +41,11 @@ def _add_run_args(ap):
                     help="grey-radiation column physics")
     ap.add_argument("--convection", action="store_true",
                     help="dry convective adjustment (beyond-reference)")
+    ap.add_argument("--evaporation", action="store_true",
+                    help="bulk-aerodynamic surface evaporation "
+                         "(beyond-reference; needs --physics and --gw0)")
+    ap.add_argument("--gw0", type=float, default=0.0,
+                    help="initial ground-water reservoir depth [m]")
     ap.add_argument("--coriolis", action="store_true")
     ap.add_argument("--q-limiter", action="store_true",
                     help="GCM-II ADVECQ +-0.5*QT horizontal q-flux clamp "
@@ -53,6 +58,9 @@ def _add_run_args(ap):
     ap.add_argument("--shapiro-fields", default="p",
                     choices=["p", "t", "pt"],
                     help="GCM-II MFILTR selection: p, t, or both")
+    ap.add_argument("--shapiro-slp", action="store_true",
+                    help="reduce p to sea level before the Shapiro FILTER "
+                         "(GCM-II MFILTR=1 semantics over topography)")
     ap.add_argument("--t-lw", type=float, default=0.1,
                     help="grey longwave layer transmittance")
     ap.add_argument("--t-sw", type=float, default=0.9,
@@ -107,10 +115,11 @@ def cmd_run(args):
     config = ModelConfig(
         dt=args.dt, giss_sige=args.giss_sige, ptop=args.ptop,
         physics=args.physics, convection=args.convection,
+        evaporation=args.evaporation, gw0=args.gw0,
         coriolis=args.coriolis, q_limiter=args.q_limiter,
         drag_tau=args.drag_tau,
         shapiro_every=args.shapiro_every, shapiro_order=args.shapiro_order,
-        shapiro_fields=args.shapiro_fields,
+        shapiro_fields=args.shapiro_fields, shapiro_slp=args.shapiro_slp,
         t_lw=args.t_lw, t_sw=args.t_sw, albedo=args.albedo,
         dtype=args.dtype, backend=args.backend,
         stream_steps=args.stream_steps,

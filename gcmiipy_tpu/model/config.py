@@ -44,6 +44,14 @@ class ModelConfig:
     # destabilizes long physics runs (see physics/convection.py).
     convection: bool = False
 
+    # Bulk-aerodynamic surface evaporation (physics/evaporation.py) after
+    # the radiation step.  BEYOND-REFERENCE: declared but left empty in
+    # the reference (evaporation.py:5-9).  ``gw0`` seeds the ground-water
+    # reservoir [m] (the reference initializes gw = 0, under which the
+    # flux is identically zero).
+    evaporation: bool = False
+    gw0: float = 0.0
+
     # Rayleigh drag e-folding time [s] on the surface layer's momentum
     # (0 disables).  The GCM-II analog (SDRAG / surface friction) is a
     # stub in the reference (port.py:539-599); without ANY momentum sink
@@ -55,9 +63,13 @@ class ModelConfig:
     # ``shapiro_every`` steps (0 disables) — a docstring-only stub in the
     # reference (port.py:566-590).  ``shapiro_fields``: 'p' | 't' | 'pt'
     # (the MFILTR=1/2/3 selection); ``shapiro_order`` must be even.
+    # ``shapiro_slp``: reduce p to sea level before smoothing (the GCM-II
+    # "SEA LEVEL PRESSURE FILTER", port.py:571) — identical over flat
+    # terrain, a no-op for terrain-balanced p over topography.
     shapiro_every: int = 0
     shapiro_order: int = 8
     shapiro_fields: str = "p"
+    shapiro_slp: bool = False
 
     # Radiation parameters of basic_grey_radiation (no_limits_2_5d.py:69)
     t_lw: float = 0.1

@@ -148,11 +148,23 @@ def full_timestep(state: ModelState, geom, config, filter_fn,
         def smooth(ops):
             return shapiro.filter_prognostics(
                 *ops, order=config.shapiro_order,
-                fields=config.shapiro_fields)
+                fields=config.shapiro_fields,
+                slp=config.shapiro_slp, geom=geom)
 
         p, t = jax.lax.cond(due, smooth, lambda ops: ops, (p, t))
     if config.physics:
         t, g = solar_timestep(t, p, g, config.dt, utc, geom, config)
+        if config.evaporation:
+            # bulk-aerodynamic surface evaporation (beyond-reference:
+            # declared empty in reference evaporation.py:5-9)
+            from gcmiipy_tpu.physics import evaporation as evap
+
+            sig = jnp.asarray(geom.sig, t.dtype)
+            ptop = jnp.asarray(geom.ptop, t.dtype)
+            tt = thermo.to_true_temp(t, p * sig + ptop)
+            q, gt_n, gw_n = evap.evaporation_step(
+                p, q, u, v, tt, g.gt, g.gw, config.dt, geom)
+            g = g._replace(gt=gt_n, gw=gw_n)
     return ModelState(PrognosticVars(p, u, v, t, q), g, utc + config.dt,
                       step + 1)
 
@@ -411,6 +423,10 @@ def gen_model_state(geom, config) -> ModelState:
     u = jnp.zeros_like(prog.u)
     v = prog.v.at[0, 0, 0].set(0.1)
     prog = prog._replace(u=u, v=v)
+    if config.gw0 > 0:
+        # seed the ground-water reservoir so evaporation has something to
+        # draw on (the reference initializes gw = 0)
+        ground = ground._replace(gw=jnp.full_like(ground.gw, config.gw0))
     return ModelState(prog, ground, jnp.asarray(0.0, dtype),
                       jnp.asarray(0, jnp.int32))
 

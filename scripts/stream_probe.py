@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--tile-j", type=int, nargs="*", default=[32, 64])
+    ap.add_argument("--extra", action="store_true",
+                    help="also probe unbanded + default-precision filters")
     args = ap.parse_args()
 
     import jax
@@ -64,12 +66,23 @@ def main():
     K, steps = args.k, args.steps
     assert steps % K == 0
 
+    variants = [("copy", dict(_copy_body=True)),
+                ("nofilter", dict(_copy_body="nofilter")),
+                ("full", dict())]
+    if args.extra:
+        # filter-cost scaling probes: unbanded forces every block to all
+        # spectral chunks (4 at W=1024 vs 2.5 banded average); fdefault
+        # runs the 1-pass bf16 filter (research precision, 2 matmul units
+        # vs fwd_high's 4).  If filter MXU time is fully serialized with
+        # the VPU body, full-to-unbanded deltas scale with chunk count.
+        variants += [("unbanded", dict(band_limit=False)),
+                     ("fdefault", dict(filter_precision="default"))]
+
     for tj in args.tile_j:
-        for name, cb in [("copy", True), ("nofilter", "nofilter"),
-                         ("full", False)]:
+        for name, kw in variants:
             try:
                 multi = pstream.make_stream_kernel(
-                    geom, 30.0, K, tile_j=tj, _copy_body=cb)
+                    geom, 30.0, K, tile_j=tj, **kw)
 
                 @jax.jit
                 def run(S):
