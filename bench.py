@@ -103,11 +103,16 @@ def tpu_throughput(height, width, layers, steps, dtype="float32",
         # double-buffered manual DMA (ops/pallas_stream.py); the packed
         # ping-pong state buffer is carried across the whole scan
         from gcmiipy_tpu.ops import pallas_stream as pstream
-        K = int(backend[6:]) if len(backend) > 6 else 20
+        rest = backend[6:]
+        pipeline = rest.startswith("pipe")   # 'streampipe[K]'
+        if pipeline:
+            rest = rest[4:]
+        K = int(rest) if rest else 20
         if steps % K:
             raise ValueError(f"--steps {steps} must be a multiple of K={K}")
         multi = pstream.make_stream_kernel(
-            geom, dt, K, dtype=dtype, filter_precision=filter_precision)
+            geom, dt, K, dtype=dtype, filter_precision=filter_precision,
+            pipeline=pipeline)
         packed = pstream.pack_state(*state)
         state = jnp.stack([packed, jnp.zeros_like(packed)])
 

@@ -73,6 +73,9 @@ def _add_run_args(ap):
     ap.add_argument("--stream-steps", type=int, default=20,
                     help="steps per launch of the 'stream' backend "
                          "(even; guard/stats granularity)")
+    ap.add_argument("--stream-pipeline", action="store_true",
+                    help="pair-interleave block stages inside the stream "
+                         "kernel (MXU/VPU co-scheduling; same numerics)")
     ap.add_argument("--polar-filter", default="fft",
                     choices=["fft", "matmul", "dft"])
     ap.add_argument("--filter-precision", default="fwd_high",
@@ -123,6 +126,7 @@ def cmd_run(args):
         t_lw=args.t_lw, t_sw=args.t_sw, albedo=args.albedo,
         dtype=args.dtype, backend=args.backend,
         stream_steps=args.stream_steps,
+        stream_pipeline=args.stream_pipeline,
         polar_filter=args.polar_filter,
         filter_precision=args.filter_precision, guard=args.guard,
         guard_p_max=args.guard_p_max, guard_p_min=args.guard_p_min,

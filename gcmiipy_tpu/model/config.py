@@ -96,6 +96,11 @@ class ModelConfig:
     #             inside the launch, and guard/stats/checkpoint cadence
     #             coarsens to stream_steps)
     backend: str = "xla"
+    # Pair-interleaved stage pipeline inside the 'stream' kernel (filter
+    # MXU co-scheduled with the other block's VPU stages; bitwise-equal
+    # numerics, see ops/pallas_stream.py).
+    stream_pipeline: bool = False
+
     # Steps per launch of the 'stream' backend (must be even; guard and
     # stats operate at this granularity there)
     stream_steps: int = 20

@@ -252,7 +252,7 @@ def _make_stream_run_fn(geom, config, timesteps):
         return pallas_stream.make_stream_kernel(
             geom, config.dt, k, coriolis=config.coriolis, dtype=dtype,
             filter_precision=config.filter_precision, interpret=interpret,
-            q_limiter=config.q_limiter)
+            q_limiter=config.q_limiter, pipeline=config.stream_pipeline)
 
     multi = make_k(K)
     multi_rem = make_k(rem_even) if rem_even else None

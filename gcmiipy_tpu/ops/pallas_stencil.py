@@ -911,44 +911,53 @@ def block_chunk_counts(polar_mask, tile_j, lo, hi, row_offset=0, nj=None,
     return out
 
 
-def matsuno_block_body(base, lgeom, keep, mask_ref, nch, CS_ref, CwSw_ref,
-                       dt, coriolis, split_fwd, split_inv, prec, dtype,
-                       q_limiter=False):
-    """BOTH Matsuno halves (predictor + corrector, incl. the two banded
-    in-VMEM DFT polar-filter rounds) on one rows-padded latitude block.
+def matsuno_block_stages(base_like, lgeom, keep, mask_ref, nch, CS_ref,
+                         CwSw_ref, dt, coriolis, split_fwd, split_inv, prec,
+                         dtype, q_limiter=False):
+    """Stage functions of the whole-step block body.
 
-    The shared compute body of the whole-step kernels: the grid-based v4
-    kernel (:func:`make_mega_step_kernel`) and the streaming multi-step
-    kernel (:mod:`gcmiipy_tpu.ops.pallas_stream`) both call it, so the
-    step numerics live in exactly one place (on top of the
-    ``core25d.half_timestep_*`` functions all backends share).
+    The per-block Matsuno step is a serial chain of alternating VPU and
+    MXU stages per half:
 
-    Arguments:
-      base: (p, u, v, t, q) block arrays of shape (tj_in, W) / (L, tj_in, W)
-        with tj_in = tile_j + 2*PHJ rows (PHJ-row halo above and below).
-      lgeom: block-local Geom (row tables shaped (1, tj_in, 1)).
-      keep: (tj_in, 1) polar-wall keep mask (0.0 on the global row H-1).
-      mask_ref: VMEM REF of the block's (tj_in, ncols) banded
-        correction-mask rows.  Must be a ref, not an array: the chunk loop
-        slices its lanes with a dynamic ``pl.ds`` offset, and Mosaic has no
-        ``dynamic_slice`` lowering for materialized arrays — ref loads with
-        static sublane ranges + dynamic lane offsets are the supported
-        (and hardware-verified) form.
-      nch: traced int32 — this block's banded-filter chunk trip count.
-      CS_ref / CwSw_ref: VMEM refs of the chunk-interleaved banded DFT
-        factor pair (split layouts when split_fwd / split_inv).
+        pre_half   (VPU) — ``pgf_forces`` on the evaluated state
+        filter_half(MXU) — the banded in-VMEM DFT polar-filter round
+        post_half  (VPU) — tendency assembly + momentum epilogue
 
-    Returns the 5 prognostic fields cropped to the tile_j core rows.
-    Row bookkeeping is documented at the v4 kernel header above.
+    Splitting them out lets a software-pipelined caller interleave TWO
+    blocks' stages so one block's filter matmuls co-schedule with the
+    other block's tendency VPU work (the stages of different blocks are
+    data-independent); :func:`matsuno_block_body` runs them back-to-back
+    and remains the single-block reference order.
+
+    ``base_like`` is any 5-tuple with the block shapes (used only for
+    static shape derivation).  Returns ``(pre_half, filter_half,
+    post_half, crop)``:
+
+      pre_half(seval) -> (spu_raw, pg_phi, pg_phiv)
+      filter_half(spu_raw, pg_phi) -> (spu_f, pgfu)
+      post_half(hbase, seval, spu_f, pgfu, pg_phiv, out_window) -> fields
+        (embedded full-block when ``out_window`` is False, else on the
+        filter window rows [lo, hi))
+      crop(x) -> core tile_j rows of a window-rows array
+
+    Row bookkeeping is documented at the v4 kernel header above; see
+    :func:`matsuno_block_body` for argument semantics.
     """
     from gcmiipy_tpu.dynamics import core25d
     from gcmiipy_tpu.ops import stencil
 
-    p_b, u_b, v_b, t_b, q_b = base
+    p_b, u_b, *_ = base_like
     L = u_b.shape[0]
     tj_in = p_b.shape[-2]
     W = p_b.shape[-1]
     tile_j = tj_in - 2 * PHJ
+    # Filter window [4, tile_j+12): the minimal row set the two halves
+    # consume (v4 header bookkeeping).  MEASURED DEAD END (v5e, r3): a
+    # whole-block window (lo=0) removes the offset-4 relayout slices and
+    # the starred embed concats but filters ~11% more rows — and got
+    # SLOWER (1.99 -> 2.07 ms/step at tile_j=64): the filter is matmul-
+    # FLOPs-bound at ~70% MXU utilization, and Mosaic's relayout copies
+    # are cheaper than extra DFT rows.  Keep the window minimal.
     lo, hi = 4, tile_j + 12            # filter window (block-relative)
     tj8 = tile_j + 8                   # rows per filter segment
     R = 2 * L * tj8                    # filter matmul batch rows
@@ -1006,12 +1015,16 @@ def matsuno_block_body(base, lgeom, keep, mask_ref, nch, CS_ref, CwSw_ref,
             [spu_raw[:, :lo], Y[:L], spu_raw[:, hi:]], axis=1)
         return spu_f, Y[L:]
 
-    def half(hbase, seval, out_window):
-        """One half step; returns the 5 fields embedded full-block
-        (valid on rows [lo+2, hi-2) at least)."""
+    def pre_half(seval):
+        """VPU stage: the two filter-bound force fields + pg_phiv."""
+        sp, su, _sv, st, _sq = seval
+        return core25d.pgf_forces(sp, su, st, lgeom)
+
+    def post_half(hbase, seval, spu_f, pgfu, pg_phiv, out_window):
+        """VPU stage: tendency assembly + epilogue; returns the 5 fields
+        embedded full-block (valid on rows [lo+2, hi-2) at least) or on
+        the window rows when ``out_window``."""
         sp, su, sv, st, sq = seval
-        spu_raw, pg_phi, pg_phiv = core25d.pgf_forces(sp, su, st, lgeom)
-        spu_f, pgfu = filter_round(spu_raw, pg_phi)
         p_n, pup, pvp, t_n, q_n = core25d.half_timestep_rest(
             *hbase, sp, su, sv, st, sq, spu_f, dt, lgeom,
             coriolis=coriolis, q_limiter=q_limiter)
@@ -1033,11 +1046,56 @@ def matsuno_block_body(base, lgeom, keep, mask_ref, nch, CS_ref, CwSw_ref,
         return (emb(w(p_n), pb), emb(u_n, ub), emb(v_n, vb),
                 emb(w(t_n), tb), emb(w(q_n), qb))
 
-    starred = half(base, base, out_window=False)
-    p_n, u_n, v_n, t_n, q_n = half(base, starred, out_window=True)
     # window rows [lo, hi) -> core rows: PHJ - lo = 4 rows in
-    ctr = lambda x: x[..., PHJ - lo:PHJ - lo + tile_j, :]
-    return ctr(p_n), ctr(u_n), ctr(v_n), ctr(t_n), ctr(q_n)
+    crop = lambda x: x[..., PHJ - lo:PHJ - lo + tile_j, :]
+    return pre_half, filter_round, post_half, crop
+
+
+def matsuno_block_body(base, lgeom, keep, mask_ref, nch, CS_ref, CwSw_ref,
+                       dt, coriolis, split_fwd, split_inv, prec, dtype,
+                       q_limiter=False):
+    """BOTH Matsuno halves (predictor + corrector, incl. the two banded
+    in-VMEM DFT polar-filter rounds) on one rows-padded latitude block.
+
+    The shared compute body of the whole-step kernels: the grid-based v4
+    kernel (:func:`make_mega_step_kernel`) and the streaming multi-step
+    kernel (:mod:`gcmiipy_tpu.ops.pallas_stream`) both call it, so the
+    step numerics live in exactly one place (on top of the
+    ``core25d.half_timestep_*`` functions all backends share).  The
+    stages themselves live in :func:`matsuno_block_stages`; this runs
+    them in the reference serial order.
+
+    Arguments:
+      base: (p, u, v, t, q) block arrays of shape (tj_in, W) / (L, tj_in, W)
+        with tj_in = tile_j + 2*PHJ rows (PHJ-row halo above and below).
+      lgeom: block-local Geom (row tables shaped (1, tj_in, 1)).
+      keep: (tj_in, 1) polar-wall keep mask (0.0 on the global row H-1).
+      mask_ref: VMEM REF of the block's (tj_in, ncols) banded
+        correction-mask rows.  Must be a ref, not an array: the chunk loop
+        slices its lanes with a dynamic ``pl.ds`` offset, and Mosaic has no
+        ``dynamic_slice`` lowering for materialized arrays — ref loads with
+        static sublane ranges + dynamic lane offsets are the supported
+        (and hardware-verified) form.
+      nch: traced int32 — this block's banded-filter chunk trip count.
+      CS_ref / CwSw_ref: VMEM refs of the chunk-interleaved banded DFT
+        factor pair (split layouts when split_fwd / split_inv).
+
+    Returns the 5 prognostic fields cropped to the tile_j core rows.
+    Row bookkeeping is documented at the v4 kernel header above.
+    """
+    pre_half, filter_half, post_half, crop = matsuno_block_stages(
+        base, lgeom, keep, mask_ref, nch, CS_ref, CwSw_ref,
+        dt, coriolis, split_fwd, split_inv, prec, dtype,
+        q_limiter=q_limiter)
+
+    s1 = pre_half(base)
+    f1 = filter_half(s1[0], s1[1])
+    starred = post_half(base, base, f1[0], f1[1], s1[2], out_window=False)
+    s2 = pre_half(starred)
+    f2 = filter_half(s2[0], s2[1])
+    p_n, u_n, v_n, t_n, q_n = post_half(base, starred, f2[0], f2[1], s2[2],
+                                        out_window=True)
+    return crop(p_n), crop(u_n), crop(v_n), crop(t_n), crop(q_n)
 
 
 def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,

@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from gcmiipy_tpu.ops import polar_filter
 from gcmiipy_tpu.ops.pallas_stencil import (
     FILTER_CHUNK, MEGA_MAX_WIDTH, PHJ, _geom_row_consts, block_chunk_counts,
-    matsuno_block_body)
+    matsuno_block_body, matsuno_block_stages)
 
 
 def n_planes(layers):
@@ -72,7 +72,7 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
                        tile_j=None, filter_precision="fwd_high",
                        band_limit=True, interpret=False,
                        vmem_limit_bytes=125 * 1024 * 1024,
-                       q_limiter=False, _copy_body=False):
+                       q_limiter=False, pipeline=False, _copy_body=False):
     """Build ``multi(S) -> S`` running ``steps`` Matsuno steps in one launch.
 
     ``S`` is the packed double buffer ``(2, 1+4L, H, W)``: buffer 0 holds
@@ -83,6 +83,21 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
     reads the PHJ-row halo above and below (1.5x read amplification at
     tile_j=32, 1.25x at 64) — the price of whole-step fusion, identical to
     the v4 kernel's overlap-recompute scheme.
+
+    ``pipeline=True`` processes latitude blocks in PAIRS with the
+    per-block stages interleaved (:func:`pallas_stencil.matsuno_block_stages`)
+    so one block's banded-filter MXU matmuls are data-independent of the
+    other block's tendency VPU stages.  MEASURED NEGATIVE RESULT (v5e,
+    round 3, scripts/stream_probe.py --pipeline): Mosaic does NOT
+    co-schedule the independent streams — 2.17 ms/step vs the plain
+    loop's 2.12 at tile_j=32 (and the pair's 2x-live VMEM OOMs the
+    compile at tile_j=64).  Kept behind this flag as the documented
+    experiment: numerics are BITWISE identical to the plain order (each
+    block's computation graph is unchanged; only cross-block statement
+    order differs — gated on hardware by scripts/tpu_parity.py), so any
+    future Mosaic scheduler improvement can be re-probed by flipping the
+    flag.  Defaults ``tile_j`` to 32: two compute-live windows + two
+    prefetch slots at tile 64 exceed the 128 MB v5e VMEM.
     """
     H, W, L = geom.height, geom.width, geom.layers
     dtype = jnp.dtype(dtype)
@@ -105,7 +120,8 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
         # measured (v5e, 9x512x1024, 200-step): tj=64 1.886-1.983 ms/step
         # vs tj=32 1.946-2.009 — the body amplification win (1.25x vs
         # 1.5x) slightly beats the coarser filter-band granularity
-        tile_j = 16 if wide else default_step_tile_j(W, L)
+        tile_j = 16 if wide else (32 if pipeline else
+                                  default_step_tile_j(W, L))
     while H % tile_j or H // tile_j < 2:
         tile_j //= 2
         if tile_j < 8:
@@ -113,9 +129,16 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
     if tile_j % 8:
         raise ValueError(f"tile_j must be a multiple of 8, got {tile_j}")
     nj = H // tile_j
+    if pipeline and (nj % 2 or _copy_body):
+        import warnings
+
+        warnings.warn(f"stream pipeline needs an even block count "
+                      f"(nj={nj}) and a real body; falling back to the "
+                      f"unpipelined block loop")
+        pipeline = False
+    n_islots = 4 if pipeline else 2
     hj = PHJ
     tj_in = tile_j + 2 * hj
-    lo, hi = 4, tile_j + 12            # filter window (block-relative)
 
     # ---- host-side constants (same prep as the v4 kernel) ----------------
     CS_np, CwSw_np, nb = polar_filter.banded_pair_matrices(
@@ -186,13 +209,12 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
             for c in in_dmas(par, slot, j):
                 c.wait()
 
-        def compute(j, win):
-            """v4 block body on the (NP, tj_in, W) input window."""
-            if _copy_body:
-                # perf probe: DMA pipeline floor (numerically meaningless)
-                return win[:, hj:hj + tile_j, :]
-            base = (win[0], win[1:1 + L], win[1 + L:1 + 2 * L],
+        def unpack_win(win):
+            return (win[0], win[1:1 + L], win[1 + L:1 + 2 * L],
                     win[1 + 2 * L:1 + 3 * L], win[1 + 3 * L:NP])
+
+        def block_env(j, mref):
+            """Block-local geometry rows, wall mask, staged filter mask."""
             r0 = pl.multiple_of(j * tile_j, 8)
             rows = pl.ds(r0, tj_in)
             lgeom = dataclasses.replace(
@@ -209,14 +231,64 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
             # pl.ds lanes) — Mosaic cannot dynamic-slice a materialized
             # array, and the whole-mask ref would need an unaligned
             # dynamic sublane offset
-            mwin[:, :] = mask_ref[rows, :]
+            mref[:, :] = mask_ref[rows, :]
+            return lgeom, keep, nch_ref[j, 0]
+
+        def compute(j, win):
+            """v4 block body on the (NP, tj_in, W) input window."""
+            if _copy_body:
+                # perf probe: DMA pipeline floor (numerically meaningless)
+                return win[:, hj:hj + tile_j, :]
+            base = unpack_win(win)
+            lgeom, keep, nch = block_env(j, mwin)
             p_n, u_n, v_n, t_n, q_n = matsuno_block_body(
-                base, lgeom, keep, mwin, nch_ref[j, 0],
+                base, lgeom, keep, mwin, nch,
                 CS_ref, CwSw_ref,
                 dt, coriolis, split_fwd, split_inv, prec, dtype,
                 q_limiter=q_limiter)
             return jnp.concatenate(
                 [p_n[None], u_n, v_n, t_n, q_n], axis=0)
+
+        def compute_pair(a, b, winA, winB):
+            """Both blocks of a pair with their stages INTERLEAVED: each
+            filter MXU stage is followed in program order by the OTHER
+            block's data-independent VPU stages, so the scheduler can run
+            them concurrently.  Per-block numerics identical to
+            :func:`compute` (same stage graph, different cross-block
+            statement order)."""
+            baseA, baseB = unpack_win(winA), unpack_win(winB)
+            lgA, keepA, nchA = block_env(a, mwin.at[0])
+            lgB, keepB, nchB = block_env(b, mwin.at[1])
+            mk_stages = lambda base, lg, keep, mref, nch: \
+                matsuno_block_stages(
+                    base, lg, keep, mref, nch, CS_ref, CwSw_ref, dt,
+                    coriolis, split_fwd, split_inv, prec, dtype,
+                    q_limiter=q_limiter)
+            preA, filtA, postA, cropA = mk_stages(
+                baseA, lgA, keepA, mwin.at[0], nchA)
+            preB, filtB, postB, cropB = mk_stages(
+                baseB, lgB, keepB, mwin.at[1], nchB)
+
+            def pack(crop, o):
+                return jnp.concatenate(
+                    [crop(o[0])[None], crop(o[1]), crop(o[2]),
+                     crop(o[3]), crop(o[4])], axis=0)
+
+            sA = preA(baseA)
+            sB = preB(baseB)
+            fA1 = filtA(sA[0], sA[1])            # MXU || (nothing yet)
+            fB1 = filtB(sB[0], sB[1])            # MXU || starA VPU below
+            starA = postA(baseA, baseA, fA1[0], fA1[1], sA[2], False)
+            sA2 = preA(starA)
+            fA2 = filtA(sA2[0], sA2[1])          # MXU || starB VPU below
+            starB = postB(baseB, baseB, fB1[0], fB1[1], sB[2], False)
+            sB2 = preB(starB)
+            outA = pack(cropA, postA(baseA, starA, fA2[0], fA2[1], sA2[2],
+                                     True))
+            fB2 = filtB(sB2[0], sB2[1])          # MXU || outA VPU above
+            outB = pack(cropB, postB(baseB, starB, fB2[0], fB2[1], sB2[2],
+                                     True))
+            return outA, outB
 
         def step_body(s, _):
             par = s % 2  # jnp promotion: s is i32 from the SMEM step count
@@ -245,6 +317,47 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
             out_dma(par, (nj - 2) % 2, nj - 2).wait()
             out_dma(par, (nj - 1) % 2, nj - 1).wait()
             return 0
+
+        def step_body_pipe(s, _):
+            """Pair-at-a-time block loop: 2 compute-live windows + 2
+            prefetching (4 input slots); output slots 0/1 = pair (a, b)."""
+            par = s % 2
+            start_in(par, 0, 0)
+            start_in(par, 1, 1)
+
+            def pair(g, _):
+                a = 2 * g
+                b = a + 1
+                sa = jax.lax.rem(a, 4)
+                sb = jax.lax.rem(b, 4)
+
+                @pl.when(g + 1 < nj // 2)
+                def _():
+                    start_in(par, jax.lax.rem(a + 2, 4), a + 2)
+                    start_in(par, jax.lax.rem(b + 2, 4), b + 2)
+
+                wait_in(par, sa, a)
+                wait_in(par, sb, b)
+                outA, outB = compute_pair(a, b, ibuf[sa], ibuf[sb])
+
+                @pl.when(g >= 1)
+                def _():
+                    out_dma(par, 0, a - 2).wait()
+                    out_dma(par, 1, b - 2).wait()
+
+                obuf[0] = outA
+                out_dma(par, 0, a).start()
+                obuf[1] = outB
+                out_dma(par, 1, b).start()
+                return 0
+
+            jax.lax.fori_loop(0, nj // 2, pair, 0)
+            out_dma(par, 0, nj - 2).wait()
+            out_dma(par, 1, nj - 1).wait()
+            return 0
+
+        if pipeline:
+            step_body = step_body_pipe
 
         # step count as DATA (SMEM scalar): every even K runs through one
         # compiled kernel — a static bound would force a fresh (remote,
@@ -278,10 +391,11 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
         out_shape=jax.ShapeDtypeStruct((2, NP, H, W), dtype),
         input_output_aliases={0: 0},
         scratch_shapes=[
-            pltpu.VMEM((2, NP, tj_in, W), dtype),
+            pltpu.VMEM((n_islots, NP, tj_in, W), dtype),
             pltpu.VMEM((2, NP, tile_j, W), dtype),
-            pltpu.VMEM((tj_in, ncols), dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((2, tj_in, ncols) if pipeline
+                       else (tj_in, ncols), dtype),
+            pltpu.SemaphoreType.DMA((n_islots, 3)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -302,7 +416,7 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
 def make_stream_matsuno(geom, dt, steps_per_launch=8, coriolis=False,
                         dtype=jnp.float32, tile_j=None,
                         filter_precision="fwd_high", band_limit=True,
-                        interpret=False, q_limiter=False):
+                        interpret=False, q_limiter=False, pipeline=False):
     """Plain-state wrapper: ``advance(p,u,v,t,q, n) -> (p,u,v,t,q)``.
 
     Packs once, scans the streaming kernel over ``n // steps_per_launch``
@@ -311,7 +425,8 @@ def make_stream_matsuno(geom, dt, steps_per_launch=8, coriolis=False,
     multi = make_stream_kernel(
         geom, dt, steps_per_launch, coriolis=coriolis, dtype=dtype,
         tile_j=tile_j, filter_precision=filter_precision,
-        band_limit=band_limit, interpret=interpret, q_limiter=q_limiter)
+        band_limit=band_limit, interpret=interpret, q_limiter=q_limiter,
+        pipeline=pipeline)
     L = geom.layers
 
     def advance(p, u, v, t, q, n):

@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--tile-j", type=int, nargs="*", default=[32, 64])
     ap.add_argument("--extra", action="store_true",
                     help="also probe unbanded + default-precision filters")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="also probe the pair-interleaved pipeline variant")
     args = ap.parse_args()
 
     import jax
@@ -77,6 +79,10 @@ def main():
         # the VPU body, full-to-unbanded deltas scale with chunk count.
         variants += [("unbanded", dict(band_limit=False)),
                      ("fdefault", dict(filter_precision="default"))]
+    if args.pipeline:
+        # pair-interleaved block loop: filter MXU co-scheduled with the
+        # other block's VPU stages (bitwise-equal numerics)
+        variants += [("pipeline", dict(pipeline=True))]
 
     for tj in args.tile_j:
         for name, kw in variants:

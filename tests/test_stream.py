@@ -160,3 +160,38 @@ def test_driver_stream_rejects_physics():
     geom = geo.gen_geometry(16, 128, 3)
     with pytest.raises(ValueError, match="pure dynamics"):
         make_run_fn(geom, cfg, 8)
+
+
+def test_stream_pipeline_bitwise_matches_plain():
+    """The pair-interleaved (pipeline=True) block loop is BITWISE equal to
+    the plain loop: each block's stage graph is unchanged, only the
+    cross-block statement order differs (pallas_stream.compute_pair)."""
+    geom = geometry.gen_geometry(32, 128, 3, sig_func=geometry.manabe_sig)
+    state = _initial(geom)
+    plain = pstream.make_stream_matsuno(geom, 300.0, steps_per_launch=2,
+                                        dtype=jnp.float64, tile_j=8,
+                                        interpret=True)
+    piped = pstream.make_stream_matsuno(geom, 300.0, steps_per_launch=2,
+                                        dtype=jnp.float64, tile_j=8,
+                                        interpret=True, pipeline=True)
+    a = plain(*state, 2)
+    b = piped(*state, 2)
+    for name, x, y in zip("puvtq", a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=f"field {name}")
+
+
+def test_stream_pipeline_odd_block_count_falls_back():
+    """An odd block count cannot pair: warn + unpipelined results."""
+    geom = geometry.gen_geometry(24, 128, 3, sig_func=geometry.manabe_sig)
+    state = _initial(geom)
+    with pytest.warns(UserWarning, match="pipeline"):
+        piped = pstream.make_stream_matsuno(geom, 300.0, steps_per_launch=2,
+                                            dtype=jnp.float64, tile_j=8,
+                                            interpret=True, pipeline=True)
+    ref = _ref_steps(state, 2, 300.0, geom)
+    out = piped(*state, 2)
+    for name, x, y in zip("puvtq", ref, out):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=1e-11, atol=1e-11,
+                                   err_msg=f"field {name}")
