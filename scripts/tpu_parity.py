@@ -88,6 +88,8 @@ def main():
     ap.add_argument("--allow-cpu", action="store_true",
                     help="run in interpret mode off-TPU (smoke only; the "
                          "gate's purpose is catching Mosaic regressions)")
+    ap.add_argument("--skip-wide", action="store_true",
+                    help="skip the wide-grid (W=2048) stream gate")
     args = ap.parse_args()
 
     if args.allow_cpu:
@@ -228,7 +230,36 @@ def main():
                    relN < args.rel_bound,
                    f"max per-field rel = {relN:.3e} (bound {args.rel_bound})")
 
-    finite = all(np.isfinite(a).all() for a in mN + fN + sN + shN)
+    # ---- gate 5: wide-grid stream (bf16-compact DFT factors) vs XLA -------
+    # W > MEGA_MAX_WIDTH stores the banded factor matrices bf16-compact
+    # and defaults tile_j=16 (pallas_stream.make_stream_kernel) — a layout
+    # the interpret-mode tests can never exercise (`wide` is hardware-
+    # only).  The hi/lo-split residual picks up its own bf16 rounding, so
+    # the bound is 4x the narrow-grid step-1 bound.
+    wN = None
+    if not args.skip_wide:
+        wgeom = geometry.gen_geometry(64, 2048, 3,
+                                      sig_func=geometry.manabe_sig)
+        wgeom = wgeom.astype(np.float32)
+        wstate = _initial(wgeom, jnp.float32)
+        wstep_x = jax.jit(lambda *s: core25d.matsuno_timestep(
+            *s, args.dt, wgeom, filter_fn=polar_filter.arakawa_1977))
+        Kw = 2
+        wadv = jax.jit(pstream.make_stream_matsuno(
+            wgeom, args.dt, steps_per_launch=Kw, interpret=interpret),
+            static_argnums=5)
+        wN = tuple(np.asarray(x) for x in jax.block_until_ready(
+            wadv(*wstate, Kw)))
+        wxN = run_steps(wstep_x, wstate, Kw)
+        rel = rel_diff(wxN, wN)
+        all_ok &= gate(f"wide-grid stream (64x2048, bf16 factors) "
+                       f"{Kw}-step vs XLA", rel < 4 * args.step1_rel_bound,
+                       f"max per-field rel = {rel:.3e} (bound "
+                       f"{4 * args.step1_rel_bound})")
+
+    finite = all(np.isfinite(a).all()
+                 for a in list(mN) + list(fN) + list(sN) + list(shN)
+                 + (list(wN) if wN is not None else []))
     all_ok &= gate("all outputs finite", finite, "")
     return 0 if all_ok else 1
 
