@@ -45,7 +45,7 @@ def step_roofline_seconds(height, width, layers, dtype="float32",
 
 def tpu_throughput(height, width, layers, steps, dtype="float32",
                    polar_filter="fft", backend="fused",
-                   filter_precision="fwd_high"):
+                   filter_precision="high"):
     import jax
     import jax.numpy as jnp
 
@@ -225,7 +225,7 @@ def main():
                              "stream40", "stream200"])
     ap.add_argument("--filter", default="dft",
                     choices=["fft", "dft", "dft_bf16", "matmul"])
-    ap.add_argument("--precision", default="fwd_high",
+    ap.add_argument("--precision", default="high",
                     choices=["highest", "high", "fwd_high", "default"])
     ap.add_argument("--chip", default="v5e", choices=sorted(HBM_BYTES_PER_SEC))
     args = ap.parse_args()

@@ -78,7 +78,7 @@ def _add_run_args(ap):
                          "kernel (MXU/VPU co-scheduling; same numerics)")
     ap.add_argument("--polar-filter", default="fft",
                     choices=["fft", "matmul", "dft"])
-    ap.add_argument("--filter-precision", default="fwd_high",
+    ap.add_argument("--filter-precision", default="high",
                     choices=["highest", "high", "fwd_high", "default"],
                     help="mega backends' in-kernel DFT matmul precision")
     ap.add_argument("--guard", action="store_true",

@@ -189,7 +189,9 @@ def make_fused_matsuno_padded_v4(geom, dt, coriolis=False, dtype=jnp.float32,
     :func:`pallas_stencil.make_mega_step_kernel`): equatorial blocks do a
     fraction of the polar blocks' filter MXU work.  ``filter_precision``
     additionally accepts ``"fwd_high"`` (split-bf16 passes on the forward
-    transform only — near-"high" accuracy at 2/3 of its MXU cost).
+    transform only — 2/3 of "high"'s filter MXU cost, but research-grade
+    only: its 1-pass inverse measurably corrupts polar rows, see the
+    round-3 note in :func:`pallas_stencil.make_mega_half_kernel`).
     """
     from gcmiipy_tpu.ops.pallas_stencil import (
         make_mega_step_kernel, refresh_rows)

@@ -109,10 +109,12 @@ class ModelConfig:
     # at dynamics.py:218).  Off by default for reference parity.
     q_limiter: bool = False
     # Matmul precision of the mega backends' in-kernel DFT filter:
-    # 'high' (split-bf16 fwd+inv, ~1e-5 filter err), 'fwd_high' (split
-    # fwd only — near-'high' accuracy at 2/3 the MXU cost), 'highest'
-    # (f32-exact), 'default' (1-pass bf16, research mode)
-    filter_precision: str = "fwd_high"
+    # 'high' (split-bf16 fwd+inv, ~1.7e-5 filter err — the default),
+    # 'highest' (f32-exact, ~2x the filter MXU), and two RESEARCH-ONLY
+    # modes measured unsound for production on v5e (their 1-pass
+    # inverse's bf16 residual corrupts polar rows; filter_accuracy.py):
+    # 'fwd_high' (split fwd only) and 'default' (1-pass bf16).
+    filter_precision: str = "high"
 
     # Diagnostics cadence: steps per scan chunk when collecting stats
     stats: bool = True

@@ -671,10 +671,15 @@ def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
     # explicit bf16 hi/lo operand split: x@M ~ xh@Mh + xh@Ml + xl@Mh
     # (the dropped xl@Ml term is ~2^-16 relative).  The split only makes
     # sense for f32 on real hardware — interpret/f64 uses exact matmuls.
-    # "fwd_high" splits only the forward transform: in the correction form
-    # the inverse matmul's bf16 error is relative to the (small) damped-band
-    # correction, while forward error injects field-scale noise INTO the
-    # damped band — so the forward side is where the passes pay off.
+    # "fwd_high" splits only the forward transform.  MEASURED UNSOUND as
+    # a production mode (round 3, scripts/filter_accuracy.py on v5e): its
+    # 1-pass DEFAULT inverse truncates operands to bf16, and the
+    # correction is NOT small on polar rows (O(field) where the mask bites
+    # hard) — the ~2^-9-of-correction residual sits at exactly the
+    # near-CFL-critical wavenumbers the filter exists to suppress, and 10
+    # steps at 512x1024 amplify it to |du| ~ 7 m/s on a 0.5 m/s field
+    # (vs 'high' 7.7e-3, 'highest' 5.5e-4).  Kept as a research mode;
+    # 'high' is the default.
     if filter_precision not in ("highest", "high", "fwd_high", "default"):
         raise ValueError(f"bad filter_precision {filter_precision!r}")
     f32_hw = dtype == jnp.float32 and not interpret
@@ -817,7 +822,9 @@ def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
         if not split:
             return M
         Mh = M.astype(jnp.bfloat16).astype(dtype)
-        return jnp.stack([Mh, M - Mh], axis=0)
+        # bf16-stored split pair: same bytes as one f32 matrix, ~2^-16
+        # fidelity (see pallas_stream.make_stream_kernel.prep_mat)
+        return jnp.stack([Mh, M - Mh], axis=0).astype(jnp.bfloat16)
 
     C_c, S_c = prep_mat(C_np, split_fwd), prep_mat(S_np, split_fwd)
     Cw_c, Sw_c = prep_mat(Cw_np, split_inv), prep_mat(Sw_np, split_inv)
@@ -1146,6 +1153,11 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
             "128MB) — use the 'fused' (v1) pipeline or the XLA backend")
     if tile_j is None:
         tile_j = default_step_tile_j(W, L)
+        if tile_j == 64 and filter_precision in ("high", "highest"):
+            # split/exact inverse transients overflow scoped VMEM at
+            # tile 64 (measured on the streaming kernel, which shares
+            # this block geometry); tile 32 fits
+            tile_j = 32
     while H % tile_j:
         tile_j //= 2
     if tile_j % 8:
@@ -1184,11 +1196,11 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
         wall_np = np.pad(wall_np, ((hj, hj), (0, 0)),
                          mode="wrap")                           # (Hp, 1)
 
-    # "fwd_high" splits only the forward transform (see the v3 kernel's
-    # rationale: in the correction form, inverse-matmul bf16 error is
-    # relative to the small damped-band correction, while forward error
-    # injects field-scale noise into the band) — 4 bf16 passes per matrix
-    # pair instead of "high"'s 6, at near-identical total-field error.
+    # "fwd_high" splits only the forward transform — 4 bf16 passes per
+    # matrix pair instead of "high"'s 6, but MEASURED UNSOUND for
+    # production (see the v3 kernel's corrected note above: the 1-pass
+    # inverse's bf16 residual lands on near-CFL-critical polar
+    # wavenumbers and the step amplifies it).  Research mode only.
     if filter_precision not in ("highest", "high", "fwd_high", "default"):
         raise ValueError(f"bad filter_precision {filter_precision!r}")
     f32_hw = dtype == jnp.float32 and not interpret
@@ -1288,7 +1300,9 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
         if not split:
             return M
         Mh = M.astype(jnp.bfloat16).astype(dtype)
-        return jnp.stack([Mh, M - Mh], axis=0)
+        # bf16-stored split pair: same bytes as one f32 matrix, ~2^-16
+        # fidelity (see pallas_stream.make_stream_kernel.prep_mat)
+        return jnp.stack([Mh, M - Mh], axis=0).astype(jnp.bfloat16)
 
     CS_c = prep_mat(CS_np, split_fwd)
     CwSw_c = prep_mat(CwSw_np, split_inv)

@@ -69,10 +69,11 @@ STREAM_MAX_WIDTH = 2048
 
 
 def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
-                       tile_j=None, filter_precision="fwd_high",
+                       tile_j=None, filter_precision="high",
                        band_limit=True, interpret=False,
                        vmem_limit_bytes=125 * 1024 * 1024,
-                       q_limiter=False, pipeline=False, _copy_body=False):
+                       q_limiter=False, pipeline=False, _copy_body=False,
+                       _wide_factor_dtype=None):
     """Build ``multi(S) -> S`` running ``steps`` Matsuno steps in one launch.
 
     ``S`` is the packed double buffer ``(2, 1+4L, H, W)``: buffer 0 holds
@@ -109,12 +110,13 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
             f"W={W} > {STREAM_MAX_WIDTH}: the O(W^2) DFT factor matrices do "
             "not fit VMEM even bf16-compact — use the v1 'fused' pipeline "
             "or the XLA backend")
-    # Wide grids (past the v4 limit): bf16-compact factor matrices + small
-    # latitude tiles.  Compact storage costs nothing extra in accuracy on
-    # the fwd_high/default paths — Precision.DEFAULT matmuls truncate f32
-    # matrix operands to bf16 on the MXU anyway; only the hi/lo residual
-    # term (already ~2^-16 relative) picks up its own bf16 rounding.
+    # Wide grids (past the v4 limit): hi/lo-split bf16 factor matrices
+    # (forward AND inverse; see the split_inv note below — a 1-pass
+    # inverse is measurably unstable on wide grids) + small latitude
+    # tiles.  The split pair stored bf16 is byte-identical in size to one
+    # f32 matrix and carries f32-level fidelity.
     wide = W > MEGA_MAX_WIDTH and not interpret
+    wide_store = jnp.dtype(_wide_factor_dtype or jnp.bfloat16)
     if tile_j is None:
         from gcmiipy_tpu.ops.pallas_stencil import default_step_tile_j
         # measured (v5e, 9x512x1024, 200-step): tj=64 1.886-1.983 ms/step
@@ -122,6 +124,12 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
         # 1.5x) slightly beats the coarser filter-band granularity
         tile_j = 16 if wide else (32 if pipeline else
                                   default_step_tile_j(W, L))
+        if tile_j == 64 and filter_precision in ("high", "highest"):
+            # tile-64 under a split/exact INVERSE does not compile even
+            # with bf16-stored factor pairs (the extra inverse-split
+            # transients overflow scoped VMEM; measured at 9x512x1024);
+            # tile 32 runs 2.23 ms/step there
+            tile_j = 32
     while H % tile_j or H // tile_j < 2:
         tile_j //= 2
         if tile_j < 8:
@@ -168,7 +176,17 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
             f"which do not fit VMEM at W={W}; use 'high'/'fwd_high'")
     f32_hw = dtype == jnp.float32 and not interpret
     split_fwd = filter_precision in ("high", "fwd_high") and f32_hw
-    split_inv = filter_precision == "high" and f32_hw
+    # WIDE grids promote fwd_high's inverse to the hi/lo split too.
+    # Measured necessity (round 3): a single DEFAULT-precision inverse
+    # matmul loses ~2^-8 of the CORRECTION, and on wide (anisotropic)
+    # grids the correction is O(field) while the unfiltered residual sits
+    # at near-CFL-critical polar wavenumbers — 2 Matsuno steps amplified
+    # that into 0.42 relative error in a PURE-XLA/CPU reproduction (no
+    # Mosaic involved; the on-TPU wide parity gate caught it at 0.68).
+    # The split pair stored bf16 costs the same 4 bytes/entry as f32 and
+    # restores f32 fidelity at 3 inverse matmuls instead of 1.
+    split_inv = (filter_precision == "high"
+                 or (wide and filter_precision == "fwd_high")) and f32_hw
     prec = (jax.lax.Precision.DEFAULT
             if filter_precision in ("default", "fwd_high")
             else jax.lax.Precision.HIGHEST)
@@ -369,11 +387,15 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
 
     def prep_mat(M, split):
         M = jnp.asarray(M)
-        store = jnp.bfloat16 if wide else dtype
         if not split:
-            return M.astype(store) if wide else M
+            return M.astype(wide_store) if wide else M
         Mh = M.astype(jnp.bfloat16).astype(dtype)
-        return jnp.stack([Mh, M - Mh], axis=0).astype(store)
+        # split pairs ALWAYS store bf16: Mh is bf16-exact, Ml's own bf16
+        # rounding is ~2^-16 of M (the split scheme's intrinsic error
+        # level), and the pair costs the same bytes as ONE f32 matrix --
+        # this is what keeps tile_j=64 viable under 'high' (f32-stored
+        # split pairs pushed the tile-64 kernel into a scoped-VMEM OOM)
+        return jnp.stack([Mh, M - Mh], axis=0).astype(jnp.bfloat16)
 
     CS_c = prep_mat(CS_np, split_fwd)
     CwSw_c = prep_mat(CwSw_np, split_inv)
@@ -415,7 +437,7 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
 
 def make_stream_matsuno(geom, dt, steps_per_launch=8, coriolis=False,
                         dtype=jnp.float32, tile_j=None,
-                        filter_precision="fwd_high", band_limit=True,
+                        filter_precision="high", band_limit=True,
                         interpret=False, q_limiter=False, pipeline=False):
     """Plain-state wrapper: ``advance(p,u,v,t,q, n) -> (p,u,v,t,q)``.
 

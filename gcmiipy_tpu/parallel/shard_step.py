@@ -257,7 +257,7 @@ def make_shard_step_fused(mesh, geom, dt, coriolis=False, dtype=np.float32,
 
 
 def make_shard_step_fused4(mesh, geom, dt, coriolis=False, dtype=np.float32,
-                           tile_j=32, filter_precision="fwd_high",
+                           tile_j=32, filter_precision="high",
                            band_limit=True, interpret=False, jit=True,
                            overlap=False, q_limiter=False):
     """Whole-step (v4) mega kernel under the latitude-ring decomposition.

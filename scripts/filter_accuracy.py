@@ -6,7 +6,12 @@ bench-shaped field, plus the mega-kernel's end-to-end step drift vs the
 XLA FFT step.
 """
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -176,7 +176,7 @@ def main():
 
     step_m_fh = jax.jit(fused.make_fused_step(
         geom, args.dt, dtype=jnp.float32, pipeline="mega4",
-        filter_precision="fwd_high", interpret=interpret))
+        filter_precision="high", interpret=interpret))
     K = max(2, args.steps - args.steps % 2)
     adv = jax.jit(pstream.make_stream_matsuno(
         geom, args.dt, steps_per_launch=K, interpret=interpret),
@@ -189,6 +189,38 @@ def main():
                    rel < args.step1_rel_bound,
                    f"max per-field rel = {rel:.3e} (expected ~0; bound "
                    f"{args.step1_rel_bound})")
+
+    # ---- gate 3a: the PRODUCTION DEFAULT precision vs the EXACT filter ----
+    # The round-3 hole this closes: gates 2-4 compare matched-precision
+    # kernels (precision errors cancel) and gate 1 runs its filter in XLA,
+    # so the in-kernel default filter_precision was never held to the
+    # exact-filter standard — 'fwd_high' (1-pass DEFAULT inverse, bf16
+    # operand truncation) survived two rounds while diverging 8e-2 from
+    # the exact core within 2 steps.  This pins the shipped default
+    # (ModelConfig().filter_precision) against the XLA FFT core.
+    from gcmiipy_tpu.model.config import ModelConfig
+    prod_prec = ModelConfig().filter_precision
+    adv_prod = jax.jit(pstream.make_stream_matsuno(
+        geom, args.dt, steps_per_launch=2,
+        filter_precision=prod_prec, interpret=interpret), static_argnums=5)
+    p2 = tuple(np.asarray(x) for x in jax.block_until_ready(
+        adv_prod(*state, 2)))
+    x2 = run_steps(step_x, state, 2)
+    rel = rel_diff(x2, p2)
+    all_ok &= gate(f"stream (default={prod_prec}) 2-step vs XLA-FFT",
+                   rel < args.step1_rel_bound,
+                   f"max per-field rel = {rel:.3e} (bound "
+                   f"{args.step1_rel_bound})")
+    adv_prodN = jax.jit(pstream.make_stream_matsuno(
+        geom, args.dt, steps_per_launch=K,
+        filter_precision=prod_prec, interpret=interpret), static_argnums=5)
+    pN = tuple(np.asarray(x) for x in jax.block_until_ready(
+        adv_prodN(*state, K)))
+    xN2 = run_steps(step_x, state, K)
+    rel = rel_diff(xN2, pN)
+    all_ok &= gate(f"stream (default={prod_prec}) {K}-step vs XLA-FFT",
+                   rel < args.rel_bound,
+                   f"max per-field rel = {rel:.3e} (bound {args.rel_bound})")
 
     # ---- gate 3b: pair-interleaved stream pipeline vs plain stream --------
     # identical per-block stage graphs, only cross-block statement order
@@ -215,7 +247,7 @@ def main():
     mesh1 = Mesh(np.array(jax.devices()[:1]), ("y",))
     step_sh = shard_step.make_shard_step_fused4(
         mesh1, geom, args.dt, dtype=np.float32,
-        filter_precision="fwd_high", interpret=interpret)
+        filter_precision="high", interpret=interpret)
     sh1 = run_steps(step_sh, state, 1)
     m1 = run_steps(step_m_fh, state, 1)
     rel = rel_diff(m1, sh1)
@@ -230,29 +262,34 @@ def main():
                    relN < args.rel_bound,
                    f"max per-field rel = {relN:.3e} (bound {args.rel_bound})")
 
-    # ---- gate 5: wide-grid stream (bf16-compact DFT factors) vs XLA -------
-    # W > MEGA_MAX_WIDTH stores the banded factor matrices bf16-compact
-    # and defaults tile_j=16 (pallas_stream.make_stream_kernel) — a layout
-    # the interpret-mode tests can never exercise (`wide` is hardware-
-    # only).  The hi/lo-split residual picks up its own bf16 rounding, so
-    # the bound is 4x the narrow-grid step-1 bound.
+    # ---- gate 5: wide-grid stream (split-bf16 DFT factors) vs XLA ---------
+    # W > MEGA_MAX_WIDTH stores the banded factor matrices as hi/lo-split
+    # bf16 pairs (forward AND inverse) and defaults tile_j=16
+    # (pallas_stream.make_stream_kernel) — a layout the interpret-mode
+    # tests can never exercise (`wide` is hardware-only).  This gate is
+    # what caught the round-3 wide regression (unsplit bf16 inverse: rel
+    # 0.68 — reproduced at 0.42 in pure XLA on CPU, i.e. a math bug, not
+    # a lowering bug).  The 64x2048 grid is 16:1 anisotropic, so filter
+    # residuals sit at near-CFL-critical wavenumbers; the gate runs at
+    # dt=5 to measure filter fidelity rather than chaos amplification.
     wN = None
     if not args.skip_wide:
+        wdt = 5.0
         wgeom = geometry.gen_geometry(64, 2048, 3,
                                       sig_func=geometry.manabe_sig)
         wgeom = wgeom.astype(np.float32)
         wstate = _initial(wgeom, jnp.float32)
         wstep_x = jax.jit(lambda *s: core25d.matsuno_timestep(
-            *s, args.dt, wgeom, filter_fn=polar_filter.arakawa_1977))
+            *s, wdt, wgeom, filter_fn=polar_filter.arakawa_1977))
         Kw = 2
         wadv = jax.jit(pstream.make_stream_matsuno(
-            wgeom, args.dt, steps_per_launch=Kw, interpret=interpret),
+            wgeom, wdt, steps_per_launch=Kw, interpret=interpret),
             static_argnums=5)
         wN = tuple(np.asarray(x) for x in jax.block_until_ready(
             wadv(*wstate, Kw)))
         wxN = run_steps(wstep_x, wstate, Kw)
         rel = rel_diff(wxN, wN)
-        all_ok &= gate(f"wide-grid stream (64x2048, bf16 factors) "
+        all_ok &= gate(f"wide-grid stream (64x2048, split-bf16 factors) "
                        f"{Kw}-step vs XLA", rel < 4 * args.step1_rel_bound,
                        f"max per-field rel = {rel:.3e} (bound "
                        f"{4 * args.step1_rel_bound})")
