@@ -28,6 +28,14 @@ HBM_BYTES_PER_SEC = {
     "v6e": 1640e9,
 }
 
+MXU_BF16_FLOPS = {
+    # peak bf16 matmul throughput per chip
+    "v5e": 197e12,
+    "v4": 275e12,
+    "v5p": 459e12,
+    "v6e": 918e12,
+}
+
 
 def step_roofline_seconds(height, width, layers, dtype="float32",
                           hbm_bps=HBM_BYTES_PER_SEC["v5e"]):
@@ -43,9 +51,74 @@ def step_roofline_seconds(height, width, layers, dtype="float32",
     return 2 * field_bytes / hbm_bps
 
 
+def filter_mxu_floor_seconds(geom, tile_j, filter_precision,
+                             mxu_flops=MXU_BF16_FLOPS["v5e"]):
+    """Matmul-FLOP lower bound on the banded in-kernel polar filter.
+
+    The stream/mega4 filter is matmul-FLOPs-bound (round-3 stage
+    isolation: ~70% MXU utilization); this computes the exact per-step
+    FLOP count of the banded chunk loop — 2 filter rounds x per-block
+    trip counts x (fwd + inv matmul passes per chunk) — at bf16 peak.
+    Split precisions cost 3 matmul passes per transform instead of 1
+    (ops/pallas_stencil.py `correction`).
+    """
+    from gcmiipy_tpu.ops.pallas_stencil import (FILTER_CHUNK,
+                                                block_chunk_counts)
+    W, L = geom.width, geom.layers
+    nch = block_chunk_counts(geom.polar_mask, tile_j, 4, tile_j + 12)
+    nmm_fwd = 3 if filter_precision in ("high", "fwd_high") else 1
+    nmm_inv = 3 if filter_precision == "high" else 1
+    if filter_precision == "highest":
+        nmm_fwd = nmm_inv = 2  # HIGHEST precision ~ 2x the default passes
+    R = 2 * L * (tile_j + 8)                  # filter-batch rows per block
+    per_chunk = 2.0 * R * W * FILTER_CHUNK    # FLOPs of ONE matmul pass
+    flops = 2 * int(nch.sum()) * (nmm_fwd + nmm_inv) * per_chunk
+    return flops / mxu_flops
+
+
+def stream_stage_probe(geom, dt, dtype="float32", filter_precision="high",
+                       steps=100, K=20):
+    """Measured stage decomposition of the stream kernel: the pure DMA
+    pipeline (`_copy_body=True`, numerically meaningless) and the
+    filterless body (`_copy_body='nofilter'`).  Returns (dma_floor_s,
+    tendency_s) per step.  Compiles two extra kernel variants (cached)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gcmiipy_tpu.ops import pallas_stream as pstream
+
+    out = []
+    for body in (True, "nofilter"):
+        multi = pstream.make_stream_kernel(
+            geom, dt, K, dtype=dtype, filter_precision=filter_precision,
+            _copy_body=body)
+        H, W, L = geom.height, geom.width, geom.layers
+        rng = np.random.default_rng(0)
+        p = jnp.asarray(1e5 * (1 + 1e-3 * rng.standard_normal((H, W))),
+                        dtype=dtype)
+        u = jnp.asarray(0.5 * rng.standard_normal((L, H, W)), dtype=dtype)
+        t = jnp.asarray(300.0 + rng.standard_normal((L, H, W)), dtype=dtype)
+        q = jnp.asarray(1e-5 * np.ones((L, H, W)), dtype=dtype)
+        packed = pstream.pack_state(p, u, u, t, q)
+        S = jnp.stack([packed, jnp.zeros_like(packed)])
+
+        @jax.jit
+        def run(S):
+            return jax.lax.scan(lambda c, _: (multi(c), None), S, None,
+                                length=steps // K)[0]
+        jax.block_until_ready(run(S))
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(S))
+            times.append(time.perf_counter() - t0)
+        out.append(min(times) / steps)
+    return tuple(out)
+
+
 def tpu_throughput(height, width, layers, steps, dtype="float32",
                    polar_filter="fft", backend="fused",
-                   filter_precision="high"):
+                   filter_precision="high", filter_split_tau=0.0):
     import jax
     import jax.numpy as jnp
 
@@ -64,7 +137,6 @@ def tpu_throughput(height, width, layers, steps, dtype="float32",
                                  sig_func=geometry.manabe_sig)
     geom = geom.astype(np.dtype(dtype))
     filter_fn = driver_mod.make_filter_fn(config, geom)
-    dyn_step = driver_mod.make_dynamics_step(geom, config, filter_fn)
 
     rng = np.random.default_rng(0)
     p = jnp.asarray(1e5 * (1 + 1e-3 * rng.standard_normal((height, width))),
@@ -112,7 +184,7 @@ def tpu_throughput(height, width, layers, steps, dtype="float32",
             raise ValueError(f"--steps {steps} must be a multiple of K={K}")
         multi = pstream.make_stream_kernel(
             geom, dt, K, dtype=dtype, filter_precision=filter_precision,
-            pipeline=pipeline)
+            pipeline=pipeline, filter_split_tau=filter_split_tau)
         packed = pstream.pack_state(*state)
         state = jnp.stack([packed, jnp.zeros_like(packed)])
 
@@ -146,7 +218,8 @@ def tpu_throughput(height, width, layers, steps, dtype="float32",
         else:
             step_padded = fused.make_fused_matsuno_padded_v4(
                 geom, dt, dtype=dtype, filter_precision=prec,
-                band_limit=(backend == "fused4"))
+                band_limit=(backend == "fused4"),
+                filter_split_tau=filter_split_tau)
         state = tuple(ps.pad_rows(x) for x in state)
 
         def body(carry, _):
@@ -163,6 +236,8 @@ def tpu_throughput(height, width, layers, steps, dtype="float32",
         def body(carry, _):
             return step_padded(*carry), None
     else:
+        dyn_step = driver_mod.make_dynamics_step(geom, config, filter_fn)
+
         def body(carry, _):
             return dyn_step(*carry), None
 
@@ -219,21 +294,33 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--baseline-height", type=int, default=128)
     ap.add_argument("--baseline-width", type=int, default=256)
-    ap.add_argument("--backend", default="stream",
-                    choices=["fused", "fused2", "fused3", "fused4",
-                             "fused4noband", "xla", "stream", "stream8",
-                             "stream40", "stream200"])
+    def backend_arg(s):
+        # 'stream[K]' / 'streampipe[K]' with any even K, plus the fixed set
+        import re
+        if s in ("fused", "fused2", "fused3", "fused4", "fused4noband",
+                 "xla") or re.fullmatch(r"stream(pipe)?\d*", s):
+            return s
+        raise argparse.ArgumentTypeError(f"unknown backend {s!r}")
+
+    ap.add_argument("--backend", default="stream", type=backend_arg,
+                    help="fused|fused2|fused3|fused4|fused4noband|xla|"
+                         "stream[K]|streampipe[K] (K = steps/launch)")
     ap.add_argument("--filter", default="dft",
                     choices=["fft", "dft", "dft_bf16", "matmul"])
     ap.add_argument("--precision", default="high",
                     choices=["highest", "high", "fwd_high", "default"])
     ap.add_argument("--chip", default="v5e", choices=sorted(HBM_BYTES_PER_SEC))
+    ap.add_argument("--split-tau", type=float, default=0.0,
+                    help="precision-selective banding threshold (chunks "
+                         "with damping correction below it run 1-pass)")
+    ap.add_argument("--no-probe", action="store_true",
+                    help="skip the measured stream stage decomposition")
     args = ap.parse_args()
 
     tpu_pps, sec_per_step, backend = tpu_throughput(
         args.height, args.width, args.layers, args.steps,
         polar_filter=args.filter, backend=args.backend,
-        filter_precision=args.precision)
+        filter_precision=args.precision, filter_split_tau=args.split_tau)
     roof_s = step_roofline_seconds(args.height, args.width, args.layers,
                                    hbm_bps=HBM_BYTES_PER_SEC[args.chip])
     roof_frac = roof_s / sec_per_step
@@ -241,6 +328,45 @@ def main():
           f"at {args.layers}x{args.height}x{args.width}; HBM roofline "
           f"{roof_s*1e3:.2f} ms -> {100*roof_frac:.1f}% of roofline on "
           f"{args.chip})", file=sys.stderr)
+
+    # --- compute-roofline model (round-3 verdict item 5): the stream step
+    # is NOT HBM-bound (DMA is fully overlapped) — its floor is the
+    # serial tendency-VPU + filter-MXU-FLOP chain.  Emit both stories.
+    compute_model = None
+    compute_frac = None
+    if backend.startswith("stream"):
+        import jax
+
+        from gcmiipy_tpu.grid import geometry
+        from gcmiipy_tpu.ops.pallas_stencil import (MEGA_MAX_WIDTH,
+                                                    default_step_tile_j)
+        geom_b = geometry.gen_geometry(args.height, args.width, args.layers,
+                                       sig_func=geometry.manabe_sig)
+        tj = (16 if args.width > MEGA_MAX_WIDTH
+              else default_step_tile_j(args.width, args.layers))
+        if tj == 64 and args.precision in ("high", "highest"):
+            tj = 32
+        filt_s = filter_mxu_floor_seconds(geom_b, tj, args.precision,
+                                          MXU_BF16_FLOPS[args.chip])
+        compute_model = {
+            "filter_mxu_floor_ms": filt_s * 1e3,
+            "mxu_peak_flops": MXU_BF16_FLOPS[args.chip],
+            "tile_j": tj,
+        }
+        if not args.no_probe and jax.default_backend() == "tpu":
+            try:
+                dma_s, vpu_s = stream_stage_probe(
+                    geom_b, 30.0, filter_precision=args.precision)
+                compute_model["dma_floor_ms"] = dma_s * 1e3
+                compute_model["tendency_ms"] = vpu_s * 1e3
+                compute_frac = (vpu_s + filt_s) / sec_per_step
+                print(f"# compute model: DMA floor {dma_s*1e3:.2f} ms "
+                      f"(overlapped), tendency {vpu_s*1e3:.2f} ms + filter "
+                      f"MXU floor {filt_s*1e3:.2f} ms -> "
+                      f"{100*compute_frac:.1f}% of the serial "
+                      "VPU+MXU compute roofline", file=sys.stderr)
+            except Exception as e:  # pragma: no cover - probe best-effort
+                print(f"# stage probe failed: {e}", file=sys.stderr)
 
     np_pps = numpy_baseline(args.baseline_height, args.baseline_width,
                             args.layers)
@@ -253,6 +379,8 @@ def main():
         "vs_baseline": tpu_pps / np_pps,
         "ms_per_step": sec_per_step * 1e3,
         "roofline_frac": roof_frac,
+        "compute_roofline_frac": compute_frac,
+        "compute_model": compute_model,
         "roofline_chip": args.chip,
         "backend": backend,  # effective (wide grids fall back to v1)
         "filter_precision": args.precision,

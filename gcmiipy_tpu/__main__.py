@@ -39,6 +39,17 @@ def _add_run_args(ap):
                     help="model-top pressure [Pa]")
     ap.add_argument("--physics", action="store_true",
                     help="grey-radiation column physics")
+    ap.add_argument("--physics-every", type=int, default=1,
+                    help="physics/drag cadence in steps (dt_eff = "
+                         "physics_every*dt; even under --backend stream)")
+    ap.add_argument("--seasonal", action="store_true",
+                    help="drive solar declination from the model clock "
+                         "(DAILY analog; default is the reference's "
+                         "perpetual equinox)")
+    ap.add_argument("--obliquity", type=float, default=23.44,
+                    help="axial tilt [deg] for --seasonal")
+    ap.add_argument("--year-days", type=float, default=365.0,
+                    help="year length [days] for --seasonal")
     ap.add_argument("--convection", action="store_true",
                     help="dry convective adjustment (beyond-reference)")
     ap.add_argument("--evaporation", action="store_true",
@@ -66,6 +77,11 @@ def _add_run_args(ap):
     ap.add_argument("--t-sw", type=float, default=0.9,
                     help="grey shortwave layer transmittance")
     ap.add_argument("--albedo", type=float, default=0.3)
+    ap.add_argument("--radiation", default="grey",
+                    choices=["grey", "4band"],
+                    help="LW scheme: the reference's grey gas, or the "
+                         "four-band MITgcm/aim absorptivities "
+                         "(no_limits_2_5d.py:241-248)")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "float64"])
     ap.add_argument("--backend", default="xla",
@@ -81,6 +97,11 @@ def _add_run_args(ap):
     ap.add_argument("--filter-precision", default="high",
                     choices=["highest", "high", "fwd_high", "default"],
                     help="mega backends' in-kernel DFT matmul precision")
+    ap.add_argument("--filter-split-tau", type=float, default=0.0,
+                    help="precision-selective banding threshold: chunks "
+                         "whose damping correction stays below it run "
+                         "1-pass bf16 instead of the split passes (0 = "
+                         "all split)")
     ap.add_argument("--guard", action="store_true",
                     help="scan-carried NaN/pressure blow-up guard")
     ap.add_argument("--guard-p-max", type=float, default=115000.0,
@@ -117,18 +138,23 @@ def cmd_run(args):
 
     config = ModelConfig(
         dt=args.dt, giss_sige=args.giss_sige, ptop=args.ptop,
-        physics=args.physics, convection=args.convection,
+        physics=args.physics, physics_every=args.physics_every,
+        seasonal=args.seasonal, obliquity=args.obliquity,
+        year_days=args.year_days,
+        convection=args.convection,
         evaporation=args.evaporation, gw0=args.gw0,
         coriolis=args.coriolis, q_limiter=args.q_limiter,
         drag_tau=args.drag_tau,
         shapiro_every=args.shapiro_every, shapiro_order=args.shapiro_order,
         shapiro_fields=args.shapiro_fields, shapiro_slp=args.shapiro_slp,
         t_lw=args.t_lw, t_sw=args.t_sw, albedo=args.albedo,
+        radiation=args.radiation,
         dtype=args.dtype, backend=args.backend,
         stream_steps=args.stream_steps,
         stream_pipeline=args.stream_pipeline,
         polar_filter=args.polar_filter,
-        filter_precision=args.filter_precision, guard=args.guard,
+        filter_precision=args.filter_precision,
+        filter_split_tau=args.filter_split_tau, guard=args.guard,
         guard_p_max=args.guard_p_max, guard_p_min=args.guard_p_min,
         guard_t_max=args.guard_t_max, guard_t_min=args.guard_t_min,
         checkpoint_dir=args.checkpoint_dir,

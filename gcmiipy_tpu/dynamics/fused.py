@@ -175,7 +175,7 @@ def make_fused_matsuno_padded_v3(geom, dt, coriolis=False, dtype=jnp.float32,
 def make_fused_matsuno_padded_v4(geom, dt, coriolis=False, dtype=jnp.float32,
                                  tile_j=None, filter_precision="high",
                                  interpret=False, band_limit=True,
-                                 q_limiter=False):
+                                 q_limiter=False, filter_split_tau=0.0):
     """Matsuno step over ROWS-padded arrays: both halves in ONE kernel.
 
     The v3 mega-kernel is DMA/launch-bound; fusing predictor+corrector
@@ -199,7 +199,8 @@ def make_fused_matsuno_padded_v4(geom, dt, coriolis=False, dtype=jnp.float32,
     step_kernel = make_mega_step_kernel(
         geom, dt, coriolis=coriolis, dtype=dtype, tile_j=tile_j,
         filter_precision=filter_precision, interpret=interpret,
-        band_limit=band_limit, q_limiter=q_limiter)
+        band_limit=band_limit, q_limiter=q_limiter,
+        filter_split_tau=filter_split_tau)
 
     def step(p_pad, u_pad, v_pad, t_pad, q_pad):
         out = step_kernel((p_pad, u_pad, v_pad, t_pad, q_pad))
@@ -216,7 +217,8 @@ def fused_grid_supported(geom):
 
 def make_fused_step(geom, dt, coriolis=False, dtype=jnp.float32,
                     filter_fn=None, tile_j=None, tile_i=None, interpret=None,
-                    pipeline="v1", filter_precision="high", q_limiter=False):
+                    pipeline="v1", filter_precision="high", q_limiter=False,
+                    filter_split_tau=0.0):
     """Drop-in fused replacement for ``core25d.matsuno_timestep``:
     unpadded-state signature, padded-state pipeline inside.
 
@@ -261,7 +263,7 @@ def make_fused_step(geom, dt, coriolis=False, dtype=jnp.float32,
         step_padded = make_fused_matsuno_padded_v4(
             geom, dt, coriolis=coriolis, dtype=dtype, tile_j=tile_j,
             filter_precision=filter_precision, interpret=interpret,
-            q_limiter=q_limiter)
+            q_limiter=q_limiter, filter_split_tau=filter_split_tau)
         pad_fn, core_fn = pad_rows, core_rows
     elif pipeline == "mega":
         step_padded = make_fused_matsuno_padded_v3(

@@ -35,6 +35,27 @@ class ModelConfig:
     # the reference; True enables the grey-radiation column physics.
     physics: bool = False
 
+    # Cadence of the physics extras (radiation/convection/evaporation +
+    # surface drag) in dynamics steps: they apply every ``physics_every``
+    # steps with an effective timestep of ``physics_every * dt`` — the
+    # GCM-II practice of calling radiation less often than dynamics.
+    # 1 (default) = every step, the reference's (dead-code) semantics.
+    # Under the 'stream' backend extras run BETWEEN multi-step launches:
+    # physics_every must be even there (1 auto-promotes to 2 with a
+    # warning), and the launch size clamps to a divisor of it.
+    physics_every: int = 1
+
+    # DAILY analog (a docstring-only stub in the reference, port.py:586-590;
+    # the reference pins solar declination to 0, grey_solar.py:60): drive
+    # the solar declination through the year from the state's utc clock,
+    # delta = -obliquity * cos(2*pi*(d + 10)/year_days) with d = utc in
+    # days — the standard small-eccentricity approximation (exact at the
+    # solstices, +-1 day at the equinoxes).  Off by default for reference
+    # parity (perpetual equinox).
+    seasonal: bool = False
+    obliquity: float = 23.44   # [degrees]
+    year_days: float = 365.0   # [days]
+
     # Coriolis: reference computes but disables (dynamics.py:82).
     coriolis: bool = False
 
@@ -75,6 +96,11 @@ class ModelConfig:
     t_lw: float = 0.1
     t_sw: float = 0.9
     albedo: float = 0.3
+    # LW scheme: 'grey' (the reference's basic_grey_radiation) or '4band'
+    # (four-band LW with the MITgcm/aim absorptivities the reference
+    # records for a future scheme, no_limits_2_5d.py:241-248; t_lw is
+    # ignored there — band transmittances come from the aim constants)
+    radiation: str = "grey"
 
     # Numerics
     dtype: str = "float32"
@@ -115,6 +141,13 @@ class ModelConfig:
     # inverse's bf16 residual corrupts polar rows; filter_accuracy.py):
     # 'fwd_high' (split fwd only) and 'default' (1-pass bf16).
     filter_precision: str = "high"
+    # Precision-selective banding for the split filter_precision modes:
+    # banded chunks whose damping correction stays below this threshold
+    # run 1-pass bf16 matmuls instead of the split passes (their residual
+    # is <= 2^-9 * tau of the field, on weakly-damped — dynamically
+    # stable — wavenumbers; scripts/filter_accuracy.py measures it).
+    # 0 disables (every active chunk at full split precision).
+    filter_split_tau: float = 0.0
 
     # Diagnostics cadence: steps per scan chunk when collecting stats
     stats: bool = True

@@ -918,6 +918,39 @@ def block_chunk_counts(polar_mask, tile_j, lo, hi, row_offset=0, nj=None,
     return out
 
 
+def block_chunk_counts_split(polar_mask, tile_j, lo, hi, split_tau,
+                             row_offset=0, nj=None, hj=PHJ,
+                             chunk=FILTER_CHUNK):
+    """(nj, 2) int32 ``[split_trips, total_trips]`` per block.
+
+    The first ``split_trips`` banded chunks (those whose damping
+    correction exceeds ``split_tau`` somewhere in the block's filter
+    window) run the full split-bf16 matmul passes; the remaining active
+    chunks run 1-pass (see :func:`gcmiipy_tpu.ops.polar_filter
+    .band_chunk_counts_above` for the soundness argument).
+    ``split_tau=0`` makes both columns equal (every active chunk split —
+    the exact 'high' behavior)."""
+    import numpy as np
+
+    from gcmiipy_tpu.ops import polar_filter
+
+    nch = block_chunk_counts(polar_mask, tile_j, lo, hi, row_offset, nj,
+                             hj, chunk)
+    row_strong = polar_filter.band_chunk_counts_above(polar_mask,
+                                                      split_tau, chunk)
+    H = row_strong.shape[0]
+    if nj is None:
+        nj = H // tile_j
+    out = np.empty((nj, 2), np.int32)
+    for b in range(nj):
+        rows = (row_offset - hj + np.arange(b * tile_j + lo,
+                                            b * tile_j + hi)) % H
+        out[b, 0] = row_strong[rows].max()
+        out[b, 1] = nch[b, 0]
+    out[:, 0] = np.minimum(out[:, 0], out[:, 1])
+    return out
+
+
 def matsuno_block_stages(base_like, lgeom, keep, mask_ref, nch, CS_ref,
                          CwSw_ref, dt, coriolis, split_fwd, split_inv, prec,
                          dtype, q_limiter=False):
@@ -982,6 +1015,14 @@ def matsuno_block_stages(base_like, lgeom, keep, mask_ref, nch, CS_ref,
         m = jnp.broadcast_to(mrow[None], (2 * L, tj8, ch))
         return m.reshape(R, ch)
 
+    # nch may be a traced scalar (all active chunks at full precision) or
+    # a (nsp, ntot) pair from block_chunk_counts_split: chunks [0, nsp)
+    # run the split-precision passes, the weakly-damped tail [nsp, ntot)
+    # runs 1-pass bf16 (sound there: its residual is 2^-9 * the sub-
+    # threshold correction, on wavenumbers the filter barely touches).
+    selective = isinstance(nch, tuple)
+    nsp, ntot = nch if selective else (nch, nch)
+
     def correction(X):
         """Filter correction, FILTER_CHUNK-interleaved C|S pairs; trip
         count = this block's damped-band need (all chunks when
@@ -1008,7 +1049,23 @@ def matsuno_block_stages(base_like, lgeom, keep, mask_ref, nch, CS_ref,
                 return Y + d(abh, Wh) + d(abh, Wl) + d(ab - abh, Wh)
             return Y + mm_plain(ab, CwSw_ref[pl.ds(s, CH2), :])
 
-        return jax.lax.fori_loop(0, nch, body, X)
+        def body_cheap(c, Y):
+            # 1-pass tail: the bf16 HIGH halves of the split factor
+            # layouts ARE the 1-pass operands (DEFAULT-precision matmul
+            # truncates to bf16 anyway)
+            s = pl.multiple_of(c * CH2, CH2)
+            mcc = bcast_mask(mask_ref[lo:hi, pl.ds(s, CH2)], CH2)
+            Mh = (CS_ref[0, :, pl.ds(s, CH2)] if split_fwd
+                  else CS_ref[:, pl.ds(s, CH2)])
+            ab = d(Xh if split_fwd else X, Mh) * mcc
+            Wh = (CwSw_ref[0, pl.ds(s, CH2), :] if split_inv
+                  else CwSw_ref[pl.ds(s, CH2), :])
+            return Y + d(ab, Wh)
+
+        Y = jax.lax.fori_loop(0, nsp, body, X)
+        if selective:
+            Y = jax.lax.fori_loop(nsp, ntot, body_cheap, Y)
+        return Y
 
     def filter_round(spu_raw, pg_phi):
         """Filter both fields on rows [lo, hi); returns (spu_f embedded
@@ -1110,7 +1167,7 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
                           interpret=False, band_limit=True,
                           local_height=None, geom_as_args=False,
                           vmem_limit_bytes=125 * 1024 * 1024,
-                          q_limiter=False):
+                          q_limiter=False, filter_split_tau=0.0):
     """Whole Matsuno STEP as one kernel over rows-padded fields.
 
     Returns ``step5(base_pad_5tuple) -> 5 rows-padded outputs`` with stale
@@ -1173,29 +1230,6 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
     tj8 = tile_j + 8           # every filter segment (core rows +- 4)
     nf = W // 2 + 1
 
-    # The filter always runs through the chunk-interleaved banded pair
-    # machinery; band_limit only selects per-block trip counts (vs all
-    # chunks everywhere) — one code path, identical math either way.
-    CS_np, CwSw_np, nb = polar_filter.banded_pair_matrices(
-        W, dtype=np.dtype(dtype), chunk=FILTER_CHUNK)
-    n_chunks_full = nb // FILTER_CHUNK
-    ncols = 2 * nb
-    if not geom_as_args:
-        mask_np = np.pad(
-            polar_filter.banded_correction_mask_pair(
-                geom.polar_mask, nb, dtype=np.dtype(dtype)),
-            ((hj, hj), (0, 0)), mode="wrap")                   # (Hp, 2nb)
-        if band_limit:
-            nch_np = block_chunk_counts(geom.polar_mask, tile_j,
-                                        4, tile_j + 12)
-        else:
-            nch_np = np.full((nj, 1), n_chunks_full, np.int32)
-        # polar wall: 1.0 on every padded row whose GLOBAL row is H-1
-        wall_np = np.zeros((H, 1), dtype)
-        wall_np[H - 1, 0] = 1.0
-        wall_np = np.pad(wall_np, ((hj, hj), (0, 0)),
-                         mode="wrap")                           # (Hp, 1)
-
     # "fwd_high" splits only the forward transform — 4 bf16 passes per
     # matrix pair instead of "high"'s 6, but MEASURED UNSOUND for
     # production (see the v3 kernel's corrected note above: the 1-pass
@@ -1209,6 +1243,39 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
     prec = (jax.lax.Precision.DEFAULT
             if filter_precision in ("default", "fwd_high")
             else jax.lax.Precision.HIGHEST)
+    # precision-selective banding: chunks whose damping correction stays
+    # under filter_split_tau run 1-pass instead of the split passes
+    # (precision-keyed, not hardware-keyed, so interpret tests cover the
+    # two-loop control flow; off-hardware both bodies are exact)
+    selective = (filter_split_tau > 0 and band_limit
+                 and filter_precision in ("high", "fwd_high"))
+
+    # The filter always runs through the chunk-interleaved banded pair
+    # machinery; band_limit only selects per-block trip counts (vs all
+    # chunks everywhere) — one code path, identical math either way.
+    CS_np, CwSw_np, nb = polar_filter.banded_pair_matrices(
+        W, dtype=np.dtype(dtype), chunk=FILTER_CHUNK)
+    n_chunks_full = nb // FILTER_CHUNK
+    ncols = 2 * nb
+    if not geom_as_args:
+        mask_np = np.pad(
+            polar_filter.banded_correction_mask_pair(
+                geom.polar_mask, nb, dtype=np.dtype(dtype)),
+            ((hj, hj), (0, 0)), mode="wrap")                   # (Hp, 2nb)
+        if selective:
+            nch_np = block_chunk_counts_split(geom.polar_mask, tile_j,
+                                              4, tile_j + 12,
+                                              filter_split_tau)
+        elif band_limit:
+            nch_np = block_chunk_counts(geom.polar_mask, tile_j,
+                                        4, tile_j + 12)
+        else:
+            nch_np = np.full((nj, 1), n_chunks_full, np.int32)
+        # polar wall: 1.0 on every padded row whose GLOBAL row is H-1
+        wall_np = np.zeros((H, 1), dtype)
+        wall_np[H - 1, 0] = 1.0
+        wall_np = np.pad(wall_np, ((hj, hj), (0, 0)),
+                         mode="wrap")                           # (Hp, 1)
 
     spec3_in = pl.BlockSpec(
         (pl.Element(L), pl.Element(tj_in), pl.Element(W)),
@@ -1262,9 +1329,12 @@ def make_mega_step_kernel(geom, dt, coriolis=False, dtype=jnp.float32,
         )
         keep = 1.0 - wall_ref[:]                       # (tj_in, 1)
         base = (p_ref[:], u_ref[:], v_ref[:], t_ref[:], q_ref[:])
+        pid = pl.program_id(0)
+        nch_arg = ((nch_ref[pid, 0], nch_ref[pid, 1]) if selective
+                   else nch_ref[pid, 0])
         p_n, u_n, v_n, t_n, q_n = matsuno_block_body(
             base, lgeom, keep, mask_ref,
-            nch_ref[pl.program_id(0), 0], CS_ref, CwSw_ref,
+            nch_arg, CS_ref, CwSw_ref,
             dt, coriolis, split_fwd, split_inv, prec, dtype,
             q_limiter=q_limiter)
         pn_ref[:] = p_n

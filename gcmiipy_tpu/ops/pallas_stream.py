@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from gcmiipy_tpu.ops import polar_filter
 from gcmiipy_tpu.ops.pallas_stencil import (
     FILTER_CHUNK, MEGA_MAX_WIDTH, PHJ, _geom_row_consts, block_chunk_counts,
-    matsuno_block_body, matsuno_block_stages)
+    block_chunk_counts_split, matsuno_block_body, matsuno_block_stages)
 
 
 def n_planes(layers):
@@ -73,7 +73,7 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
                        band_limit=True, interpret=False,
                        vmem_limit_bytes=125 * 1024 * 1024,
                        q_limiter=False, pipeline=False, _copy_body=False,
-                       _wide_factor_dtype=None):
+                       _wide_factor_dtype=None, filter_split_tau=0.0):
     """Build ``multi(S) -> S`` running ``steps`` Matsuno steps in one launch.
 
     ``S`` is the packed double buffer ``(2, 1+4L, H, W)``: buffer 0 holds
@@ -148,6 +148,20 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
     hj = PHJ
     tj_in = tile_j + 2 * hj
 
+    if filter_precision not in ("highest", "high", "fwd_high", "default"):
+        raise ValueError(f"bad filter_precision {filter_precision!r}")
+    if wide and filter_precision == "highest":
+        raise ValueError(
+            "filter_precision='highest' needs f32-exact factor matrices, "
+            f"which do not fit VMEM at W={W}; use 'high'/'fwd_high'")
+    f32_hw = dtype == jnp.float32 and not interpret
+    # precision-selective banding (see block_chunk_counts_split): weakly-
+    # damped chunks run 1-pass instead of the split passes.  The flag is
+    # precision-keyed (not f32_hw-keyed) so interpret-mode tests exercise
+    # the two-loop control flow; off-hardware both loop bodies are exact.
+    selective = (filter_split_tau > 0 and band_limit
+                 and filter_precision in ("high", "fwd_high"))
+
     # ---- host-side constants (same prep as the v4 kernel) ----------------
     CS_np, CwSw_np, nb = polar_filter.banded_pair_matrices(
         W, dtype=np.dtype(dtype), chunk=FILTER_CHUNK)
@@ -157,7 +171,10 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
         polar_filter.banded_correction_mask_pair(
             geom.polar_mask, nb, dtype=np.dtype(dtype)),
         ((hj, hj), (0, 0)), mode="wrap")                       # (Hp, 2nb)
-    if band_limit:
+    if selective:
+        nch_np = block_chunk_counts_split(geom.polar_mask, tile_j,
+                                          4, tile_j + 12, filter_split_tau)
+    elif band_limit:
         nch_np = block_chunk_counts(geom.polar_mask, tile_j, 4, tile_j + 12)
     else:
         nch_np = np.full((nj, 1), n_chunks_full, np.int32)
@@ -168,13 +185,6 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
     wall_np[H - 1, 0] = 1.0
     wall_np = np.pad(wall_np, ((hj, hj), (0, 0)), mode="wrap")  # (Hp, 1)
 
-    if filter_precision not in ("highest", "high", "fwd_high", "default"):
-        raise ValueError(f"bad filter_precision {filter_precision!r}")
-    if wide and filter_precision == "highest":
-        raise ValueError(
-            "filter_precision='highest' needs f32-exact factor matrices, "
-            f"which do not fit VMEM at W={W}; use 'high'/'fwd_high'")
-    f32_hw = dtype == jnp.float32 and not interpret
     split_fwd = filter_precision in ("high", "fwd_high") and f32_hw
     # WIDE grids promote fwd_high's inverse to the hi/lo split too.
     # Measured necessity (round 3): a single DEFAULT-precision inverse
@@ -250,7 +260,9 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
             # array, and the whole-mask ref would need an unaligned
             # dynamic sublane offset
             mref[:, :] = mask_ref[rows, :]
-            return lgeom, keep, nch_ref[j, 0]
+            nch = ((nch_ref[j, 0], nch_ref[j, 1]) if selective
+                   else nch_ref[j, 0])
+            return lgeom, keep, nch
 
         def compute(j, win):
             """v4 block body on the (NP, tj_in, W) input window."""
@@ -438,7 +450,8 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
 def make_stream_matsuno(geom, dt, steps_per_launch=8, coriolis=False,
                         dtype=jnp.float32, tile_j=None,
                         filter_precision="high", band_limit=True,
-                        interpret=False, q_limiter=False, pipeline=False):
+                        interpret=False, q_limiter=False, pipeline=False,
+                        filter_split_tau=0.0):
     """Plain-state wrapper: ``advance(p,u,v,t,q, n) -> (p,u,v,t,q)``.
 
     Packs once, scans the streaming kernel over ``n // steps_per_launch``
@@ -448,7 +461,7 @@ def make_stream_matsuno(geom, dt, steps_per_launch=8, coriolis=False,
         geom, dt, steps_per_launch, coriolis=coriolis, dtype=dtype,
         tile_j=tile_j, filter_precision=filter_precision,
         band_limit=band_limit, interpret=interpret, q_limiter=q_limiter,
-        pipeline=pipeline)
+        pipeline=pipeline, filter_split_tau=filter_split_tau)
     L = geom.layers
 
     def advance(p, u, v, t, q, n):

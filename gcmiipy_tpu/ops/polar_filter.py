@@ -204,6 +204,28 @@ def band_chunk_counts(polar_mask, chunk=128):
     return -(-band // chunk).astype(np.int32)
 
 
+def band_chunk_counts_above(polar_mask, tau, chunk=128):
+    """Per-row number of banded chunks whose max damping correction
+    ``|mask - 1|`` exceeds ``tau``.
+
+    Because ``|mask-1|`` is monotone non-increasing along the
+    descending-n banded columns (damping grows with wavenumber), the
+    strong chunks form a PREFIX of the active chunks — the basis of the
+    precision-selective filter: chunks above the threshold get the full
+    split-bf16 matmuls, the weakly-damped tail runs 1-pass (its bf16
+    residual, <= 2^-9 * tau of the field, sits on weakly-damped — i.e.
+    dynamically stable — wavenumbers).  ``tau=0`` reproduces
+    :func:`band_chunk_counts` exactly.
+    """
+    mask = np.asarray(polar_mask, np.float64)
+    nf = mask.shape[-1]
+    mc = np.abs(mask[:, :0:-1] - 1.0)       # (J, nf-1), descending n
+    strong = mc > tau
+    band = np.where(strong.any(axis=-1),
+                    nf - 1 - np.argmax(strong[:, ::-1], axis=-1), 0)
+    return -(-band // chunk).astype(np.int32)
+
+
 def arakawa_1977_dft(q, geom, dft_mats, precision="high",
                      form="correction"):
     """Polar filter via shared-matrix real DFT matmuls (same damping mask

@@ -271,3 +271,102 @@ def solar_timestep_np(t, p, gt, dt, utc, t_lw, t_sw, albedo, geom):
     tt_n = tt + dTdt * dt
     t_n = np.asarray(thermo.to_potential_temp(tt_n, tp))
     return t_n, gt_n
+
+
+# ---- four-band longwave (ModelConfig.radiation = "4band") -----------------
+
+def planck_cumfrac_np(x, terms=60):
+    """Blackbody emission fraction below dimensionless frequency x
+    (series form; twin of radiation._planck_cumfrac)."""
+    x = np.asarray(x, np.float64)
+    acc = np.zeros_like(x)
+    for n in range(1, terms + 1):
+        acc += np.exp(-n * x) * (x ** 3 / n + 3 * x ** 2 / n ** 2
+                                 + 6 * x / n ** 3 + 6 / n ** 4)
+    return 1.0 - acc * 15.0 / np.pi ** 4
+
+
+def four_band_fractions_np(tt, exact=False):
+    """Planck band fractions (4, ...).  ``exact=True`` evaluates the
+    series directly (for bounding the jax polynomial-fit error);
+    otherwise uses the same fitted polynomials as the jax path."""
+    from gcmiipy_tpu.physics.radiation import (_BAND_POLYS, _C2_CM_K,
+                                               FOUR_BAND_EDGES_CM)
+    tt = np.asarray(tt, np.float64)
+    if exact:
+        below = [planck_cumfrac_np(_C2_CM_K * e / tt)
+                 for e in FOUR_BAND_EDGES_CM[1:]]
+        f = [below[0], below[1] - below[0], below[2] - below[1]]
+    else:
+        s = (tt - 250.0) / 100.0
+        f = [np.polyval(c, s) for c in _BAND_POLYS]
+    return np.stack(f + [1.0 - (f[0] + f[1] + f[2])])
+
+
+def four_band_radiation_np(p, tp, tt, q, gt, t_sw, albedo, utc, geom,
+                           return_fluxes=False):
+    """Float64 NumPy twin of radiation.four_band_radiation (explicit
+    per-band k-loops)."""
+    from gcmiipy_tpu.physics import radiation as rad
+    p = np.asarray(p, np.float64)
+    tt = np.asarray(tt, np.float64)
+    q = np.asarray(q, np.float64)
+    gt = np.asarray(gt, np.float64)
+    L = geom.layers
+    dsig = np.asarray(geom.dsig, np.float64)
+    sw_t = t_sw ** dsig
+
+    dp_norm = p * dsig / 1.0e5
+    q_gkg = q * 1000.0
+    ones = np.ones_like(q)
+    eps = np.stack([rad.ABLWV2 * q_gkg * dp_norm,
+                    rad.ABLCO2 * ones * dp_norm,
+                    rad.ABLWIN * ones * dp_norm,
+                    rad.ABLWV1 * q_gkg * dp_norm])
+    t_b = np.exp(-rad._LW_DIFFUSIVITY * eps)          # (4, L, ...)
+    f_b = four_band_fractions_np(tt)
+    emission = f_b * (1 - t_b) * constants.sb_constant * tt ** 4
+
+    # exclusive cumprod: prod of t below layer k (0/0-safe in fully
+    # opaque bands, matching the jax path)
+    cum_b_bottom = np.cumprod(t_b, axis=1)
+    c_div = np.concatenate([np.ones_like(t_b[:, :1]),
+                            cum_b_bottom[:, :-1]], axis=1)
+    B = np.sum(emission * c_div, axis=(0, 1))
+
+    cum_sw_top = np.cumprod(np.broadcast_to(sw_t, tt.shape)[::-1],
+                            axis=0)[::-1]
+    sza = zenith_angle_np(geom.long, geom.lat, utc, geom)
+    Sc = constants.solar_constant * sza
+    S = (1 - albedo) * Sc * cum_sw_top[0]
+    U_s = constants.sb_constant * gt ** 4
+    dt_ground = (B + S - U_s) / constants.Cg / 0.1
+
+    LWA_a = np.zeros(emission.shape)
+    down = np.zeros((4,) + Sc.shape)
+    for k in reversed(range(L)):
+        LWA_a[:, k] = down * (1 - t_b[:, k])
+        down = down * t_b[:, k] + emission[:, k]
+    LWA_b = np.zeros(emission.shape)
+    up = np.zeros((4,) + Sc.shape)
+    for k in range(L):
+        LWA_b[:, k] = up * (1 - t_b[:, k])
+        up = up * t_b[:, k] + emission[:, k]
+
+    fg = four_band_fractions_np(gt)
+    U_n = (fg[:, None] * U_s * c_div * (1 - t_b)).sum(0)
+    S_n = (1 - sw_t) * cum_sw_top / sw_t * Sc
+    dTdt = (U_n + S_n - 2 * emission.sum(0) + LWA_a.sum(0)
+            + LWA_b.sum(0)) * (constants.G / (constants.Cp * p * dsig))
+    if not return_fluxes:
+        return dTdt, dt_ground
+    fluxes = {
+        "Sc": Sc,
+        "sw_reflected": albedo * Sc * cum_sw_top[0],
+        "lw_escape_ground": (fg[:, None] * U_s
+                             * cum_b_bottom)[:, -1].sum(0),
+        "lw_escape_layers": up.sum(0),
+        "B": B, "S": S, "U_s": U_s,
+        "emission": emission.sum(0),
+    }
+    return dTdt, dt_ground, fluxes

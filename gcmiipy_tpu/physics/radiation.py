@@ -47,11 +47,60 @@ ozone_weight = 0.01
 
 # Four-band longwave absorptivities per dp = 1e5 Pa, from MITgcm/aim — noted
 # by the reference for a future multi-band scheme (no_limits_2_5d.py:241-248;
-# water-vapor terms per dq = 1 g/kg).
+# water-vapor terms per dq = 1 g/kg).  Consumed by :func:`four_band_radiation`
+# (``ModelConfig.radiation = "4band"``).
 ABLWIN = 0.7   # window band
 ABLCO2 = 4.0   # CO2 band
 ABLWV1 = 0.7   # weak water-vapor band
 ABLWV2 = 50.0  # strong water-vapor band
+
+# Spectral edges of the four LW bands [cm^-1]: the H2O rotation band
+# (strong), the 15 um CO2 band, the atmospheric window, and the H2O
+# vibration-rotation band (weak) — the standard partition the aim
+# absorptivities above parametrize.
+FOUR_BAND_EDGES_CM = (0.0, 600.0, 800.0, 1200.0)
+_C2_CM_K = 1.438777  # hc/k [cm K]
+_LW_DIFFUSIVITY = 1.66  # Elsasser diffuse-path factor (grey_solar.py:145)
+
+
+def _planck_cumfrac(x, terms=60):
+    """Fraction of blackbody emission at dimensionless frequency < x
+    (x = c2*nu/T): (15/pi^4) * sum_n e^{-nx}(x^3/n + 3x^2/n^2 + 6x/n^3
+    + 6/n^4).  NumPy, host-side (used to fit the band polynomials)."""
+    import numpy as _np
+    x = _np.asarray(x, _np.float64)
+    acc = _np.zeros_like(x)
+    for n in range(1, terms + 1):
+        acc += _np.exp(-n * x) * (x ** 3 / n + 3 * x ** 2 / n ** 2
+                                  + 6 * x / n ** 3 + 6 / n ** 4)
+    return 1.0 - acc * 15.0 / math.pi ** 4
+
+
+def _fit_band_fraction_polys(deg=6, t_lo=150.0, t_hi=350.0):
+    """Degree-``deg`` polynomial fits (in (T-250)/100) of the Planck
+    fraction emitted in each of the three bounded bands; the open
+    top band is 1 - sum.  Max fit residual < 2e-4 over [150, 350] K."""
+    import numpy as _np
+    T = _np.linspace(t_lo, t_hi, 201)
+    fr_below = [_planck_cumfrac(_C2_CM_K * edge / T)
+                for edge in FOUR_BAND_EDGES_CM[1:]]          # 600/800/1200
+    bands = [fr_below[0], fr_below[1] - fr_below[0],
+             fr_below[2] - fr_below[1]]
+    s = (T - 250.0) / 100.0
+    return _np.stack([_np.polyfit(s, b, deg) for b in bands])  # (3, deg+1)
+
+
+_BAND_POLYS = _fit_band_fraction_polys()
+
+
+def four_band_fractions(tt):
+    """Planck emission fraction per LW band at temperature ``tt`` [K]:
+    stacked (4, ...) = (H2O-rotation, CO2, window, H2O-vibration);
+    sums to 1 exactly (the open band is the complement)."""
+    s = (tt - 250.0) / 100.0
+    fs = [jnp.polyval(jnp.asarray(c, tt.dtype), s) for c in _BAND_POLYS]
+    f4 = 1.0 - (fs[0] + fs[1] + fs[2])
+    return jnp.stack([fs[0], fs[1], fs[2], f4])
 
 
 def daily_average_irradiance(lat, declination):
@@ -67,18 +116,37 @@ def daily_average_irradiance(lat, declination):
     )
 
 
+def solar_declination(utc, obliquity_deg=23.44, year_days=365.0):
+    """Solar declination [rad] from the model clock ``utc`` [s] — the DAILY
+    analog (reference port.py:586-590 is a docstring-only stub; the
+    reference pins declination to 0 at its zenith_angle call,
+    grey_solar.py:60).
+
+    Standard small-eccentricity approximation with the year anchored so
+    utc = 0 is January 1 00:00: delta = -obliquity * cos(2*pi*(d+10)/Y),
+    exact at the solstices (d+10 = 0 -> -23.44 deg, northern winter).
+    """
+    d = utc / 86400.0
+    return (-math.radians(obliquity_deg)
+            * jnp.cos(2 * math.pi * (d + 10.0) / year_days))
+
+
 def solar_zenith_angle(latitude, hour_angle, declination):
     """cos(solar zenith angle) (reference grey_solar.py:40-46).  Radians."""
     return (jnp.sin(latitude) * jnp.sin(declination)
             + jnp.cos(latitude) * jnp.cos(declination) * jnp.cos(hour_angle))
 
 
-def zenith_angle(longs, lats, time, geom):
+def zenith_angle(longs, lats, time, geom, declination=0.0):
     """Clamped cos(zenith) over the grid at UTC ``time`` [s]
-    (reference grey_solar.py:49-65).  ``longs`` (I,), ``lats`` (J,1), radians."""
+    (reference grey_solar.py:49-65).  ``longs`` (I,), ``lats`` (J,1), radians.
+
+    ``declination`` defaults to 0 (perpetual equinox) exactly as the
+    reference hard-codes it (grey_solar.py:60); pass
+    :func:`solar_declination` of the clock for a seasonal cycle."""
     hour_angle = time / (-24.0 * 3600.0) * 2 * math.pi  # sun moves west
     point_angle = longs + hour_angle                    # (I,) broadcasts
-    sza = solar_zenith_angle(lats, point_angle, 0.0)    # (J, I)
+    sza = solar_zenith_angle(lats, point_angle, declination)  # (J, I)
     return jnp.maximum(sza, 0.0)
 
 
@@ -259,10 +327,14 @@ def basic_3_gas_absorbance(p, tp, tt, rho, q, geom):
     return lw_absorbance, sw_absorbance
 
 
-def basic_grey_radiation(p, tp, tt, g, t_lw, t_sw, albedo, utc, geom):
+def basic_grey_radiation(p, tp, tt, g, t_lw, t_sw, albedo, utc, geom,
+                         declination=0.0):
     """Basic grey atmosphere, Atmospheric Dynamics section 2.7
     (reference grey_solar.py:358-563) — the radiation actually wired into the
     model driver (reference no_limits_2_5d.py:69).
+
+    ``declination`` [rad] feeds the zenith angle (0 = the reference's
+    perpetual equinox; see :func:`solar_declination`).
 
     Returns (dTdt [K/s] per layer, dt_ground [K/s]).
     """
@@ -283,7 +355,8 @@ def basic_grey_radiation(p, tp, tt, g, t_lw, t_sw, albedo, utc, geom):
 
     # 2) solar received (eq. 2.26, grey_solar.py:390-394)
     sza = zenith_angle(jnp.asarray(geom.long, dtype),
-                       jnp.asarray(geom.lat, dtype), utc, geom)
+                       jnp.asarray(geom.lat, dtype), utc, geom,
+                       declination=declination)
     Sc = constants.solar_constant * sza
     S = (1 - albedo) * Sc * cum_sw_trans_from_top[0]
 
@@ -325,6 +398,108 @@ def basic_grey_radiation(p, tp, tt, g, t_lw, t_sw, albedo, utc, geom):
     B_n = emission
 
     # temperature tendency, eq. 2.34 (grey_solar.py:554)
+    dTdt = (U_n + S_n - 2 * B_n + LWA_a + LWA_b) * (
+        constants.G / (constants.Cp * p * dsig))
+    return dTdt, dt_ground
+
+
+def four_band_transmittances(p, q, geom, dtype=None):
+    """Per-layer LW transmittance in each of the 4 bands, stacked
+    (4, L, ...): exp(-1.66 * eps_b) with the aim layer absorptivities
+    eps = AB * dp/1e5 (water-vapor bands additionally scaled by q in
+    g/kg) — the semantics the reference records for the constants
+    (no_limits_2_5d.py:241-248)."""
+    dtype = dtype or q.dtype
+    dsig = jnp.asarray(geom.dsig, dtype)
+    dp_norm = p * dsig / 1.0e5          # (L, ...) layer mass per 1e5 Pa
+    q_gkg = q * 1000.0
+    ones = jnp.ones_like(q)
+    eps = jnp.stack([
+        ABLWV2 * q_gkg * dp_norm,       # H2O rotation (strong)
+        ABLCO2 * ones * dp_norm,        # CO2 15 um (well-mixed)
+        ABLWIN * ones * dp_norm,        # window
+        ABLWV1 * q_gkg * dp_norm,       # H2O vibration (weak)
+    ])
+    return jnp.exp(-_LW_DIFFUSIVITY * eps)
+
+
+def four_band_radiation(p, tp, tt, q, g, t_sw, albedo, utc, geom,
+                        declination=0.0):
+    """Four-band longwave + grey shortwave column radiation.
+
+    The band-resolved generalization of :func:`basic_grey_radiation`'s
+    AD-2.7 ladders: the single grey LW transmittance ``t_lw ** dsig``
+    becomes four spectral bands with the MITgcm/aim absorptivities the
+    reference records for exactly this purpose (reference
+    no_limits_2_5d.py:241-248, a constants-only stub there), and layer/
+    ground emission is partitioned across bands by the exact Planck
+    fraction at the emitting temperature (:func:`four_band_fractions`).
+    The shortwave path (and the ground slab budget) is byte-identical to
+    the grey scheme (grey_solar.py:390-394,398-403).
+
+    Returns (dTdt [K/s] per layer, dt_ground [K/s]).
+    """
+    dtype = tt.dtype
+    dsig = jnp.asarray(geom.dsig, dtype)
+    sw_transmittance = jnp.asarray(t_sw ** dsig, dtype)
+
+    # --- per-band LW ladders -------------------------------------------
+    t_b = four_band_transmittances(p, q, geom, dtype)        # (4, L, ...)
+    f_b = four_band_fractions(tt)                            # (4, L, ...)
+    emission = f_b * (1 - t_b) * constants.sb_constant * tt ** 4
+
+    # transmission from layer k down to the ground within each band:
+    # EXCLUSIVE cumprod (prod over layers below k) — the grey scheme's
+    # cumprod/t form (grey_solar.py:381) is 0/0 = NaN in a fully opaque
+    # band (t = exp(-1.66*eps) underflows to 0 at aim's strong-H2O
+    # absorptivity with the reference's hot-start humidities)
+    cum_b_bottom = jnp.cumprod(t_b, axis=1)
+    c_div = jnp.concatenate([jnp.ones_like(t_b[:, :1]),
+                             cum_b_bottom[:, :-1]], axis=1)
+    B = jnp.sum(emission * c_div, axis=(0, 1))               # at ground
+
+    # --- grey SW sweep (identical to basic_grey_radiation) -------------
+    cum_sw_trans_from_top = jnp.flip(
+        jnp.cumprod(jnp.flip(jnp.broadcast_to(
+            sw_transmittance.reshape(-1, *([1] * (tt.ndim - 1))),
+            tt.shape), 0), axis=0), 0)
+    sza = zenith_angle(jnp.asarray(geom.long, dtype),
+                       jnp.asarray(geom.lat, dtype), utc, geom,
+                       declination=declination)
+    Sc = constants.solar_constant * sza
+    S = (1 - albedo) * Sc * cum_sw_trans_from_top[0]
+    U_s = constants.sb_constant * g.gt ** 4
+    dt_ground = (B + S - U_s) / constants.Cg / 0.1
+
+    # --- downwelling LW absorption per band, top->bottom ----------------
+    def down_body(previous, xs):
+        t_k, emit_k = xs
+        absorbed = previous * (1 - t_k)
+        return previous * t_k + emit_k, absorbed
+
+    zero4 = jnp.zeros_like(emission[:, 0])
+    _, LWA_a = jax.lax.scan(down_body, zero4,
+                            (jnp.moveaxis(t_b, 1, 0),
+                             jnp.moveaxis(emission, 1, 0)), reverse=True)
+    LWA_a = jnp.moveaxis(LWA_a, 0, 1).sum(0)                 # (L, ...)
+
+    # --- upwelling from layer emission only (the reference's LWA_b
+    # quirk: the ground term is analytic, grey_solar.py:513-518) --------
+    _, LWA_b = jax.lax.scan(down_body, zero4,
+                            (jnp.moveaxis(t_b, 1, 0),
+                             jnp.moveaxis(emission, 1, 0)))
+    LWA_b = jnp.moveaxis(LWA_b, 0, 1).sum(0)
+
+    # ground emission absorbed at layer k, per band: partitioned by the
+    # Planck fraction at the GROUND temperature
+    fg = four_band_fractions(g.gt)                           # (4, ...)
+    U_n = (fg[:, None] * U_s * c_div * (1 - t_b)).sum(0)
+
+    S_n = ((1 - sw_transmittance.reshape(-1, *([1] * (tt.ndim - 1))))
+           * cum_sw_trans_from_top
+           / sw_transmittance.reshape(-1, *([1] * (tt.ndim - 1))) * Sc)
+
+    B_n = emission.sum(0)
     dTdt = (U_n + S_n - 2 * B_n + LWA_a + LWA_b) * (
         constants.G / (constants.Cp * p * dsig))
     return dTdt, dt_ground

@@ -156,8 +156,7 @@ class Q:
             return Q(ufunc(*mags), _scale(dims[0], exp))
         if ufunc is np.sqrt:
             return Q(ufunc(*mags), _scale(dims[0], 0.5))
-        if ufunc in (np.negative, np.positive, np.absolute, np.conjugate,
-                     np.real if isinstance(np.real, np.ufunc) else np.abs):
+        if ufunc in (np.negative, np.positive, np.absolute, np.conjugate):
             return Q(ufunc(*mags), dims[0])
         if ufunc in (np.greater, np.greater_equal, np.less, np.less_equal,
                      np.equal, np.not_equal):
@@ -256,3 +255,17 @@ class Q:
 
     def __ge__(self, o):
         return np.greater_equal(self, o)
+
+    # == / != must go through the dimension-checked ufunc path too: the
+    # default object-identity fallback would silently answer False for
+    # mismatched dimensions instead of raising (round-3 advisor finding).
+    def __eq__(self, o):
+        if o is None:
+            return False
+        return np.equal(self, o)
+
+    def __ne__(self, o):
+        return np.not_equal(self, o)
+
+    # array-valued __eq__ makes instances unhashable, like ndarray
+    __hash__ = None

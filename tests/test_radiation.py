@@ -293,3 +293,101 @@ def test_column_physics_run():
     assert gt.max() < 450.0
     # diurnal structure: the ground is warmest where the sun has been
     assert gt.max() - gt.min() > 10.0
+
+
+# ---- four-band LW scheme (ModelConfig.radiation = "4band") ----------------
+
+def test_four_band_fractions_properties():
+    """Band fractions sum to 1, match the exact Planck series to the fit
+    tolerance, and behave physically (hotter -> more window emission)."""
+    from gcmiipy_tpu.oracle import numpy_radiation as rad_np
+    T = np.linspace(160.0, 340.0, 37)
+    f_poly = np.asarray(radiation.four_band_fractions(jnp.asarray(T)))
+    np.testing.assert_allclose(f_poly.sum(0), 1.0, atol=1e-12)
+    f_exact = rad_np.four_band_fractions_np(T, exact=True)
+    np.testing.assert_allclose(f_poly, f_exact, atol=5e-4)
+    # Wien shift: the short-wavenumber rotation band loses share with T,
+    # the window band gains
+    assert f_exact[0, -1] < f_exact[0, 0]
+    assert f_exact[2, -1] > f_exact[2, 0]
+    # at 288 K most emission sits below 1200 cm^-1
+    f288 = rad_np.four_band_fractions_np(np.asarray([288.0]), exact=True)
+    assert f288[:3].sum() > 0.8
+
+
+def test_four_band_transmittance_limits():
+    """Dry columns are transparent in the H2O bands; heavier layers
+    absorb more everywhere."""
+    geom = geometry.gen_geometry(4, 8, 9, sig_func=geometry.manabe_sig)
+    p = jnp.full((4, 8), 1.0e5)
+    q0 = jnp.zeros((9, 4, 8))
+    t_dry = np.asarray(radiation.four_band_transmittances(p, q0, geom))
+    np.testing.assert_allclose(t_dry[0], 1.0, atol=1e-12)   # strong H2O
+    np.testing.assert_allclose(t_dry[3], 1.0, atol=1e-12)   # weak H2O
+    assert (t_dry[1] < 1.0).all() and (t_dry[2] < 1.0).all()
+    q1 = jnp.full((9, 4, 8), 1e-3)
+    t_wet = np.asarray(radiation.four_band_transmittances(p, q1, geom))
+    assert (t_wet[0] < t_dry[0]).all()
+    # the strong band absorbs far more than the weak one at equal q
+    assert (t_wet[0] < t_wet[3]).all()
+
+
+def test_four_band_radiation_oracle_parity():
+    from gcmiipy_tpu.oracle import numpy_radiation as rad_np
+    geom = geometry.gen_geometry(6, 8, 9, sig_func=geometry.manabe_sig)
+    p, tp, tt, t, q, g = _random_column(geom, seed=11)
+    utc = 5 * 3600.0
+    dTdt, dtg = radiation.four_band_radiation(p, tp, tt, q, g, 0.9, 0.3,
+                                              utc, geom)
+    dTdt_o, dtg_o = rad_np.four_band_radiation_np(
+        p, tp, tt, q, g.gt, 0.9, 0.3, utc, geom)
+    np.testing.assert_allclose(np.asarray(dTdt), dTdt_o, rtol=1e-11,
+                               atol=1e-16)
+    np.testing.assert_allclose(np.asarray(dtg), dtg_o, rtol=1e-11,
+                               atol=1e-16)
+
+
+def test_four_band_radiation_budget_closes():
+    """Column energy conservation for the four-band scheme: integrated
+    air+ground heating == net boundary flux (absorbed solar minus the
+    per-band LW escapes)."""
+    from gcmiipy_tpu.oracle import numpy_radiation as rad_np
+    geom = geometry.gen_geometry(6, 8, 9, sig_func=geometry.manabe_sig)
+    p, tp, tt, t, q, g = _random_column(geom, seed=12)
+    utc = 7 * 3600.0
+    dTdt_o, dtg_o, fx = rad_np.four_band_radiation_np(
+        p, tp, tt, q, g.gt, 0.9, 0.3, utc, geom, return_fluxes=True)
+    dsig = np.asarray(geom.dsig)
+    air_heat = np.sum(
+        dTdt_o * constants.Cp * np.asarray(p) * dsig / constants.G, axis=0)
+    ground_heat = constants.Cg * 0.1 * dtg_o
+    net_in = (fx["Sc"] - fx["sw_reflected"] - fx["lw_escape_ground"]
+              - fx["lw_escape_layers"])
+    np.testing.assert_allclose(air_heat + ground_heat, net_in,
+                               rtol=1e-10, atol=1e-8)
+
+
+def test_four_band_driver_run():
+    """A physics-on driver run with radiation='4band' integrates stably
+    (guard ON and asserted quiet — a frozen blown run must FAIL here,
+    which is how the fully-opaque-band 0/0 slipped past the first
+    version of this test) and differs measurably from the grey scheme."""
+    import warnings
+
+    from gcmiipy_tpu.model.config import ModelConfig
+    from gcmiipy_tpu.model.driver import run_model
+
+    kw = dict(physics=True, convection=True, drag_tau=86400.0,
+              dtype="float64", backend="xla", guard=True, stats=False)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out_g = run_model(8, 16, 3, 1800.0, 24,
+                          config=ModelConfig(radiation="grey", **kw))
+        out_4 = run_model(8, 16, 3, 1800.0, 24,
+                          config=ModelConfig(radiation="4band", **kw))
+    blown = [w for w in caught if "blew up" in str(w.message)]
+    assert not blown, f"guarded run blew up: {blown[0].message}"
+    for x in out_4[:5]:
+        assert np.isfinite(np.asarray(x)).all()
+    dT = np.max(np.abs(np.asarray(out_4[3]) - np.asarray(out_g[3])))
+    assert dT > 1e-3
