@@ -145,8 +145,49 @@ def bench_shard(geom, config, n_dev, steps):
     return _timed(_scan_of(step, steps)(state), steps)
 
 
+def bench_stream_ring(geom, config, n_dev, steps):
+    """K-step streaming lat-ring: one launch + one K*PHJ-deep ppermute
+    round per K steps (the v5 advantage carried multi-chip)."""
+    import functools
+
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from gcmiipy_tpu.model import driver as driver_mod
+    from gcmiipy_tpu.ops.pallas_stencil import PHJ
+    from gcmiipy_tpu.parallel import shard_step
+
+    mesh = Mesh(jax.devices()[:n_dev], axis_names=("y",))
+    interpret = jax.default_backend() != "tpu"
+    Hl = geom.height // n_dev
+    K = min(4, (Hl // PHJ) - (Hl // PHJ) % 2)
+    if K < 2:
+        raise ValueError(f"shard rows {Hl} < 2*PHJ; no streamed ring")
+    if steps % K:
+        raise ValueError(f"steps {steps} must divide the launch size {K}")
+    adv = shard_step.make_shard_stream_ring(
+        mesh, geom, config.dt, steps_per_launch=K, dtype=config.dtype,
+        interpret=interpret, jit=False)
+    prog = driver_mod.gen_model_state(geom, config).prog
+    surf = NamedSharding(mesh, P("y", None))
+    full = NamedSharding(mesh, P(None, "y", None))
+    state = (jax.device_put(prog.p, surf),) + tuple(
+        jax.device_put(x, full) for x in (prog.u, prog.v, prog.t, prog.q))
+
+    def body(c, _):
+        return adv(*c), None
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(s):
+        out, _ = jax.lax.scan(body, s, None, length=steps // K)
+        return out
+
+    return _timed(lambda: run(tuple(x.copy() for x in state)), steps)
+
+
 PATHS = {"gspmd": bench_gspmd, "fused": bench_fused_ring,
-         "fused4": bench_fused4_ring, "shard": bench_shard}
+         "fused4": bench_fused4_ring, "shard": bench_shard,
+         "stream_ring": bench_stream_ring}
 
 
 def run_scaling(height, width, layers, steps, device_counts, paths,

@@ -332,6 +332,170 @@ def _resolve_stream_cadence(config, timesteps):
     return config, K
 
 
+def _chunk_extras_state(state: ModelState, geom, config) -> ModelState:
+    """Cadenced extras at a stream-chunk boundary on a plain ModelState
+    (utc/step already advanced past the chunk) — the unpacked twin of the
+    single-device stream path's packed ``chunk_extras``; used by the
+    sharded stream-ring run path (fields stay sharded, the extras are
+    plain jnp ops GSPMD distributes)."""
+    has_extras = config.physics or config.drag_tau > 0
+    has_shapiro = config.shapiro_every > 0
+    if not (has_extras or has_shapiro):
+        return state
+    prog, g, utc, step = state
+    p, u, v, t, q = prog
+    if has_shapiro:
+        from gcmiipy_tpu.ops import shapiro
+
+        due_s = step % config.shapiro_every == 0
+
+        def smooth(ops):
+            return shapiro.filter_prognostics(
+                *ops, order=config.shapiro_order,
+                fields=config.shapiro_fields,
+                slp=config.shapiro_slp, geom=geom)
+
+        p, t = jax.lax.cond(due_s, smooth, lambda o: o, (p, t))
+    prog = PrognosticVars(p, u, v, t, q)
+    if has_extras:
+        prog, g = apply_cadenced_extras(prog, g, utc - config.dt, step,
+                                        geom, config)
+    return ModelState(prog, g, utc, step)
+
+
+def _make_stream_ring_run_fn(geom, config, timesteps, mesh):
+    """Sharded run-function for backend 'stream' under a lat-ring mesh:
+    the scan advances K steps per iteration through
+    :func:`gcmiipy_tpu.parallel.shard_step.make_shard_stream_ring` (one
+    launch + one K*PHJ-deep ppermute round per chunk).  Cadenced extras,
+    guard and stats work exactly like the single-device stream path
+    (chunk granularity), on sharded fields.
+    """
+    import warnings
+
+    from gcmiipy_tpu.dynamics.fused import fused_grid_supported
+    from gcmiipy_tpu.ops.pallas_stream import STREAM_MAX_WIDTH
+    from gcmiipy_tpu.ops.pallas_stencil import PHJ
+    from gcmiipy_tpu.parallel import shard_step
+
+    ny = mesh.shape.get("y", 1)
+    Hl = geom.height // ny if geom.height % ny == 0 else 0
+    k_cap = (Hl // PHJ) - (Hl // PHJ) % 2
+    if (timesteps < 2 or not fused_grid_supported(geom)
+            or geom.width > STREAM_MAX_WIDTH or k_cap < 2):
+        import dataclasses as _dc
+        warnings.warn(
+            f"sharded backend 'stream' needs >= 2 steps, 8 | H, 128 | W "
+            f"<= {STREAM_MAX_WIDTH} and shard rows >= 2*PHJ; "
+            f"{timesteps} steps on {geom.height}x{geom.width} over "
+            f"{ny} shards falls back to the 'mega4' ring", stacklevel=2)
+        return make_run_fn(geom, _dc.replace(config, backend="mega4"),
+                           timesteps, mesh=mesh)
+
+    config, K = _resolve_stream_cadence(config, timesteps)
+    K = min(K, k_cap)
+    interpret = jax.default_backend() != "tpu"
+    n_chunks, rem = divmod(timesteps, K)
+
+    def make_adv(k):
+        return shard_step.make_shard_stream_ring(
+            mesh, geom, config.dt, steps_per_launch=k,
+            coriolis=config.coriolis, dtype=np.dtype(config.dtype),
+            filter_precision=config.filter_precision,
+            interpret=interpret, jit=False, q_limiter=config.q_limiter,
+            filter_split_tau=config.filter_split_tau)
+
+    adv = make_adv(K)
+    rem_even = rem - rem % 2
+    tail_odd = rem % 2
+    adv_rem = make_adv(rem_even) if rem_even else None
+    tail_step = (make_dynamics_step(geom, config, None, mesh=mesh,
+                                    warn_degrade=False) if tail_odd
+                 else None)
+
+    def advance_chunk(state, adv_k, k):
+        prog = PrognosticVars(*adv_k(*state.prog))
+        state = ModelState(prog, state.ground, state.utc + k * config.dt,
+                           state.step + k)
+        return _chunk_extras_state(state, geom, config)
+
+    def tail(state):
+        if rem_even:
+            state = advance_chunk(state, adv_rem, rem_even)
+        if tail_odd:
+            state = full_timestep(state, geom, config, None, tail_step)
+        return state
+
+    if config.guard:
+        def guarded_chunk(carry, chunk_start, chunk_fn):
+            state, ok, blown = carry
+            new = chunk_fn(state)
+            bad = state_bad(new, config)
+            advance = ok & ~bad
+            state = jax.tree.map(
+                lambda old, nx: jnp.where(advance, nx, old), state, new)
+            blown = jnp.where(ok & bad, chunk_start, blown)
+            return state, advance, blown
+
+        def gbody(carry, idx):
+            carry = guarded_chunk(carry, idx * K,
+                                  lambda s: advance_chunk(s, adv, K))
+            stats = (collect_stats(carry[0], geom) if config.stats
+                     else None)
+            return carry, stats
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run(state):
+            carry = (state, jnp.asarray(True),
+                     jnp.asarray(-1, dtype=jnp.int32))
+            carry, stats = jax.lax.scan(
+                gbody, carry, jnp.arange(n_chunks, dtype=jnp.int32))
+            extra = []
+            if rem_even:
+                carry = guarded_chunk(
+                    carry, n_chunks * K,
+                    lambda s: advance_chunk(s, adv_rem, rem_even))
+                if config.stats:
+                    extra.append(collect_stats(carry[0], geom))
+            if tail_odd:
+                carry = guarded_chunk(
+                    carry, timesteps - 1,
+                    lambda s: full_timestep(s, geom, config, None,
+                                            tail_step))
+                if config.stats:
+                    extra.append(collect_stats(carry[0], geom))
+            if config.stats and extra:
+                ex = jax.tree.map(lambda *xs: jnp.stack(xs), *extra)
+                stats = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b]), stats, ex)
+            state, ok, blown = carry
+            return state, stats, GuardInfo(ok, blown)
+
+        run.chunk_steps = K
+        return run
+
+    def body(state, _):
+        state = advance_chunk(state, adv, K)
+        stats = collect_stats(state, geom) if config.stats else None
+        return state, stats
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(state):
+        state, stats = jax.lax.scan(body, state, None, length=n_chunks)
+        extra = []
+        state = tail(state) if (rem_even or tail_odd) else state
+        if config.stats and (rem_even or tail_odd):
+            extra.append(collect_stats(state, geom))
+        if config.stats and extra:
+            ex = jax.tree.map(lambda *xs: jnp.stack(xs), *extra)
+            stats = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b]), stats, ex)
+        return state, stats
+
+    run.chunk_steps = K
+    return run
+
+
 def _make_stream_run_fn(geom, config, timesteps):
     """Run-function builder for the 'stream' backend: the scan advances
     K = ``config.stream_steps`` Matsuno steps per iteration through the
@@ -566,6 +730,8 @@ def make_run_fn(geom, config, timesteps, mesh=None):
     validate_config(config)
     if config.backend == "stream" and mesh is None:
         return _make_stream_run_fn(geom, config, timesteps)
+    if config.backend == "stream" and mesh is not None:
+        return _make_stream_ring_run_fn(geom, config, timesteps, mesh)
     if mesh is not None and config.polar_filter == "fft" \
             and config.backend == "xla":
         # under a sharded mesh the zonal rFFT is the one op GSPMD handles

@@ -73,7 +73,8 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
                        band_limit=True, interpret=False,
                        vmem_limit_bytes=125 * 1024 * 1024,
                        q_limiter=False, pipeline=False, _copy_body=False,
-                       _wide_factor_dtype=None, filter_split_tau=0.0):
+                       _wide_factor_dtype=None, filter_split_tau=0.0,
+                       local_height=None, geom_as_args=False):
     """Build ``multi(S) -> S`` running ``steps`` Matsuno steps in one launch.
 
     ``S`` is the packed double buffer ``(2, 1+4L, H, W)``: buffer 0 holds
@@ -101,6 +102,12 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
     prefetch slots at tile 64 exceed the 128 MB v5e VMEM.
     """
     H, W, L = geom.height, geom.width, geom.layers
+    if local_height is not None:
+        # lat-ring shard use (parallel/shard_step.make_shard_stream_ring):
+        # the kernel covers local_height rows (shard core + the K*PHJ-row
+        # recompute halo); its in-kernel row wrap is mod local_height,
+        # which only pollutes the sacrificial halo rows
+        H = local_height
     dtype = jnp.dtype(dtype)
     NP = n_planes(L)
     if steps % 2:
@@ -167,23 +174,27 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
         W, dtype=np.dtype(dtype), chunk=FILTER_CHUNK)
     n_chunks_full = nb // FILTER_CHUNK
     ncols = 2 * nb
-    mask_np = np.pad(
-        polar_filter.banded_correction_mask_pair(
-            geom.polar_mask, nb, dtype=np.dtype(dtype)),
-        ((hj, hj), (0, 0)), mode="wrap")                       # (Hp, 2nb)
-    if selective:
-        nch_np = block_chunk_counts_split(geom.polar_mask, tile_j,
-                                          4, tile_j + 12, filter_split_tau)
-    elif band_limit:
-        nch_np = block_chunk_counts(geom.polar_mask, tile_j, 4, tile_j + 12)
-    else:
-        nch_np = np.full((nj, 1), n_chunks_full, np.int32)
-    if _copy_body == "nofilter":   # perf probe: body without the filter MXU
-        nch_np = np.zeros_like(nch_np)
-        _copy_body = False
-    wall_np = np.zeros((H, 1), dtype)
-    wall_np[H - 1, 0] = 1.0
-    wall_np = np.pad(wall_np, ((hj, hj), (0, 0)), mode="wrap")  # (Hp, 1)
+    if not geom_as_args:
+        mask_np = np.pad(
+            polar_filter.banded_correction_mask_pair(
+                geom.polar_mask, nb, dtype=np.dtype(dtype)),
+            ((hj, hj), (0, 0)), mode="wrap")                   # (Hp, 2nb)
+        if selective:
+            nch_np = block_chunk_counts_split(geom.polar_mask, tile_j,
+                                              4, tile_j + 12,
+                                              filter_split_tau)
+        elif band_limit:
+            nch_np = block_chunk_counts(geom.polar_mask, tile_j,
+                                        4, tile_j + 12)
+        else:
+            nch_np = np.full((nj, 1), n_chunks_full, np.int32)
+        if _copy_body == "nofilter":   # perf probe: body w/o the filter MXU
+            nch_np = np.zeros_like(nch_np)
+            _copy_body = False
+        wall_np = np.zeros((H, 1), dtype)
+        wall_np[H - 1, 0] = 1.0
+        wall_np = np.pad(wall_np, ((hj, hj), (0, 0)),
+                         mode="wrap")                           # (Hp, 1)
 
     split_fwd = filter_precision in ("high", "fwd_high") and f32_hw
     # WIDE grids promote fwd_high's inverse to the hi/lo split too.
@@ -394,8 +405,16 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
         # tens-of-minutes) Mosaic compile per distinct steps value
         jax.lax.fori_loop(0, ns_ref[0], step_body, 0)
 
-    (dxj_c, dxh_c, lat_c, hm_c, sigt_c, sigb_c, sig_c, dsig_c
-     ) = _geom_row_consts(geom, dtype, hj, 0)
+    if geom_as_args:
+        # sigma ladders are shard-independent closure constants; the
+        # per-row tables arrive per call (lat-ring shard use)
+        sigt_c = jnp.asarray(geom.sigt, dtype)
+        sigb_c = jnp.asarray(geom.sigb, dtype)
+        sig_c = jnp.asarray(geom.sig, dtype)
+        dsig_c = jnp.asarray(geom.dsig, dtype)
+    else:
+        (dxj_c, dxh_c, lat_c, hm_c, sigt_c, sigb_c, sig_c, dsig_c
+         ) = _geom_row_consts(geom, dtype, hj, 0)
 
     def prep_mat(M, split):
         M = jnp.asarray(M)
@@ -411,9 +430,10 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
 
     CS_c = prep_mat(CS_np, split_fwd)
     CwSw_c = prep_mat(CwSw_np, split_inv)
-    mask_c = jnp.asarray(mask_np)
-    wall_c = jnp.asarray(wall_np)
-    nch_c = jnp.asarray(nch_np)
+    if not geom_as_args:
+        mask_c = jnp.asarray(mask_np)
+        wall_c = jnp.asarray(wall_np)
+        nch_c = jnp.asarray(nch_np)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -439,11 +459,27 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
 
     ns_c = jnp.asarray([steps], jnp.int32)
 
+    if geom_as_args:
+        def multi(S, geom_arrays):
+            """geom_arrays = (dxj, dxh, lat, heightmap, wall, mask, nch):
+            the shard's row tables covering local_height + 2*PHJ padded
+            rows ((Hp, 1)/(Hp, W)/(Hp, 2nb)), plus the per-block filter
+            trip counts ((nj, 1) int32, or (nj, 2) under a selective
+            filter_split_tau)."""
+            dxj, dxh, lat, hm, wall, mask, nch = geom_arrays
+            return call(S, dxj, dxh, lat, hm, wall,
+                        sigt_c, sigb_c, sig_c, dsig_c,
+                        CS_c, CwSw_c, mask, nch, ns_c)
+
+        multi.tile_j = tile_j
+        return multi
+
     def multi(S):
         return call(S, dxj_c, dxh_c, lat_c, hm_c, wall_c,
                     sigt_c, sigb_c, sig_c, dsig_c,
                     CS_c, CwSw_c, mask_c, nch_c, ns_c)
 
+    multi.tile_j = tile_j
     return multi
 
 

@@ -410,6 +410,143 @@ def make_shard_step_fused4(mesh, geom, dt, coriolis=False, dtype=np.float32,
     return jax.jit(run) if jit else run
 
 
+def make_shard_stream_ring(mesh, geom, dt, steps_per_launch=2,
+                           coriolis=False, dtype=np.float32, tile_j=None,
+                           filter_precision="high", band_limit=True,
+                           interpret=False, jit=True, q_limiter=False,
+                           filter_split_tau=0.0):
+    """K-step streaming (v5) kernel under the latitude-ring decomposition.
+
+    Carries the v5 single-chip advantage to the mesh: ONE kernel launch
+    and ONE ppermute halo round per K = ``steps_per_launch`` Matsuno
+    steps (the per-step fused4 ring pays both every step).  The ring halo
+    is K*PHJ rows deep — recompute-on-halo extended in TIME: each
+    in-launch step's total stencil+filter reach is PHJ = 8 rows, so after
+    K steps the outer K*PHJ rows of the padded block are stale while the
+    Hl-row core is exact (the same argument that lets the v4 kernel
+    recompute the starred state on block halos, SURVEY.md section 2.9
+    "overlapped with interior Pallas compute" — here the halo work IS the
+    overlap, traded as redundant compute).
+
+    Cost model: halo amplification = (Hl + 2*K*PHJ) / Hl redundant rows
+    per launch vs 1 launch + 1 exchange per K steps.  K=2 on 64-row
+    shards (512 rows / 8 devices) = 1.5x rows for 1/2 the launches and
+    exchanges.  Requires K*PHJ <= Hl (one-hop ring exchange).
+
+    Returns ``advance(p, u, v, t, q) -> (p, u, v, t, q)`` advancing K
+    steps, fields sharded P('y') over latitude; ``advance.chunk_steps``
+    = K.  ``jit=False`` returns the unjitted function for embedding in a
+    caller's scan.
+    """
+    from gcmiipy_tpu.ops import pallas_stencil as ps
+    from gcmiipy_tpu.ops import pallas_stream as pstream
+    from gcmiipy_tpu.ops import polar_filter
+
+    if "y" not in mesh.axis_names:
+        raise ValueError("mesh must have a 'y' axis")
+    K = steps_per_launch
+    if K < 2 or K % 2:
+        raise ValueError(f"steps_per_launch must be even >= 2, got {K}")
+    ny = mesh.shape["y"]
+    H, W, L = geom.height, geom.width, geom.layers
+    if H % ny:
+        raise ValueError("height must divide the lat mesh axis")
+    Hl = H // ny
+    hj = ps.PHJ
+    D = K * hj                      # ring halo depth (recompute-on-halo)
+    if D > Hl:
+        raise ValueError(
+            f"ring halo K*PHJ = {D} exceeds shard rows {Hl} (one-hop "
+            f"exchange); lower steps_per_launch to <= {Hl // hj}")
+    HP = Hl + 2 * D                 # kernel-local padded height
+    geom = geom.astype(dtype)
+    if tile_j is None:
+        tile_j = next(t for t in (32, 16, 8) if HP % t == 0 and HP // t >= 2)
+    multi = pstream.make_stream_kernel(
+        geom, dt, K, coriolis=coriolis, dtype=jnp.dtype(dtype),
+        tile_j=tile_j, filter_precision=filter_precision,
+        band_limit=band_limit, interpret=interpret, q_limiter=q_limiter,
+        filter_split_tau=filter_split_tau, local_height=HP,
+        geom_as_args=True)
+    tj = multi.tile_j
+    nj_l = HP // tj
+
+    # ---- host-side per-shard padded geometry tables ----------------------
+    # local padded row r (incl. the kernel's own PHJ pad) = global row
+    # (s*Hl - D - hj + r) mod H
+    _, _, nb = polar_filter.banded_pair_matrices(W, dtype=np.dtype(dtype))
+    wall_np = np.zeros((H, 1), dtype)
+    wall_np[H - 1, 0] = 1.0
+    mask_np = polar_filter.banded_correction_mask_pair(
+        geom.polar_mask, nb, dtype=np.dtype(dtype))
+    pad = D + hj
+
+    def rows(a2d):
+        a2d = np.asarray(a2d, dtype)
+        ap = np.pad(a2d, ((pad, pad),) + ((0, 0),) * (a2d.ndim - 1),
+                    mode="wrap")
+        return np.stack([ap[s * Hl: s * Hl + HP + 2 * hj]
+                         for s in range(ny)])
+
+    selective = (filter_split_tau > 0 and band_limit
+                 and filter_precision in ("high", "fwd_high"))
+    if selective:
+        nch = np.stack([
+            ps.block_chunk_counts_split(
+                geom.polar_mask, tj, 4, tj + 12, filter_split_tau,
+                row_offset=s * Hl - D, nj=nj_l) for s in range(ny)])
+    elif band_limit:
+        nch = np.stack([
+            ps.block_chunk_counts(geom.polar_mask, tj, 4, tj + 12,
+                                  row_offset=s * Hl - D, nj=nj_l)
+            for s in range(ny)])
+    else:
+        nch = np.full((ny, nj_l, 1), nb // ps.FILTER_CHUNK, np.int32)
+    tables = (rows(np.asarray(geom.dx_j).reshape(H, 1)),
+              rows(np.asarray(geom.dx_h).reshape(H, 1)),
+              rows(np.asarray(geom.lat).reshape(H, 1)),
+              rows(geom.heightmap), rows(wall_np), rows(mask_np), nch)
+
+    def body(*args):
+        consts, fields = args[:-5], args[-5:]
+        geom_args = tuple(a[0] for a in consts)   # drop the shard axis
+        ring = lambda x: halo.exchange_axis(x, D, "y", -2)
+        padded = tuple(ring(x.astype(jnp.dtype(dtype))) for x in fields)
+        packed = pstream.pack_state(*padded)
+        S = jnp.stack([packed, jnp.zeros_like(packed)])
+        S = multi(S, geom_args)
+        out = pstream.unpack_state(S[0], L)
+        return tuple(x[..., D:D + Hl, :] for x in out)
+
+    from jax import shard_map
+
+    surf = P("y", None)
+    full = P(None, "y", None)
+    gspec = P("y", None, None)
+
+    step = shard_map(
+        body, mesh=mesh,
+        in_specs=(gspec,) * 7 + (surf, full, full, full, full),
+        out_specs=(surf, full, full, full, full),
+        check_vma=False,
+    )
+
+    def put(a):
+        return jax.device_put(a, NamedSharding(mesh, gspec))
+
+    consts = tuple(put(a) for a in tables)
+
+    def advance(p, u, v, t, q):
+        return step(*consts, p, u, v, t, q)
+
+    advance.chunk_steps = K
+    if jit:
+        jadv = jax.jit(advance)
+        jadv.chunk_steps = K
+        return jadv
+    return advance
+
+
 def shard_prognostics(prog, mesh):
     """Place a PrognosticVars tuple on the mesh."""
     surf = NamedSharding(mesh, P("y", "x"))

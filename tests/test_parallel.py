@@ -336,3 +336,104 @@ def test_shard_step_fused4_overlap_fallback_small_shard():
     for a, b in zip(out_pl, out_ov):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_shard_stream_ring_matches_single_device():
+    """K-step streaming lat-ring path (one launch + one K*PHJ-deep
+    ppermute round per K steps, recompute-on-halo in time) == the
+    single-device XLA core with the exact DFT filter at f64 roundoff."""
+    from jax.sharding import Mesh
+    from gcmiipy_tpu.ops import polar_filter
+
+    geom = geometry.gen_geometry(128, 128, 2, sig_func=geometry.manabe_sig)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("y",))
+    dt = 300.0
+    K = 2
+
+    adv = shard_step.make_shard_stream_ring(
+        mesh, geom, dt, steps_per_launch=K, dtype=np.float64,
+        interpret=True)
+    assert adv.chunk_steps == K
+
+    mats = polar_filter.build_dft_matrices(geom.width, dtype=np.float64)
+    filt = lambda q, g: polar_filter.arakawa_1977_dft(
+        q, g, mats, precision="highest")
+    step_single = jax.jit(lambda *s: core25d.matsuno_timestep(
+        *s, dt, geom, filter_fn=filt))
+
+    state = _initial(geom, seed=31)
+    s_ref, s_shd = state, state
+    for _ in range(2):          # 2 launches = 4 steps
+        s_ref = step_single(*step_single(*s_ref))
+        s_shd = adv(*s_shd)
+    for name, a, b in zip("puvtq", s_ref, s_shd):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-9, atol=1e-9,
+                                   err_msg=f"field {name}")
+
+
+def test_shard_stream_ring_polar_wall_and_validation():
+    from jax.sharding import Mesh
+
+    geom = geometry.gen_geometry(128, 128, 2)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("y",))
+    adv = shard_step.make_shard_stream_ring(
+        mesh, geom, 100.0, steps_per_launch=2, dtype=np.float64,
+        interpret=True)
+    state = _initial(geom, seed=32)
+    _, _, v_n, _, _ = adv(*state)
+    np.testing.assert_allclose(np.asarray(v_n)[:, -1, :], 0.0, atol=1e-14)
+    # halo depth exceeding the shard rows must raise, as must odd K
+    with pytest.raises(ValueError, match="halo"):
+        shard_step.make_shard_stream_ring(mesh, geom, 100.0,
+                                          steps_per_launch=4,
+                                          interpret=True)
+    with pytest.raises(ValueError, match="even"):
+        shard_step.make_shard_stream_ring(mesh, geom, 100.0,
+                                          steps_per_launch=3,
+                                          interpret=True)
+
+
+def test_stream_ring_run_model():
+    """mesh + backend='stream': the K-step streaming ring as a production
+    run path — guarded, stats-on run_model matches the single-device
+    stream run (itself pinned to the XLA core) at f64 roundoff."""
+    from jax.sharding import Mesh
+
+    from gcmiipy_tpu.model.config import ModelConfig
+    from gcmiipy_tpu.model.driver import run_model
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("y",))
+    cfg = ModelConfig(backend="stream", stream_steps=2, dtype="float64",
+                      guard=True, stats=True)
+    out_m = run_model(128, 128, 2, 300.0, 5, config=cfg, mesh=mesh)
+    out_1 = run_model(128, 128, 2, 300.0, 5, config=cfg)
+    for name, a, b in zip("puvtq", out_1[:5], out_m[:5]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-9, atol=1e-9,
+                                   err_msg=f"field {name}")
+    np.testing.assert_allclose(np.asarray(out_m[7].total_energy),
+                               np.asarray(out_1[7].total_energy),
+                               rtol=1e-9)
+
+
+def test_stream_ring_run_model_physics():
+    """mesh + stream + physics cadence: extras run between ring launches
+    and match the single-device stream path exactly."""
+    from jax.sharding import Mesh
+
+    from gcmiipy_tpu.model.config import ModelConfig
+    from gcmiipy_tpu.model.driver import run_model
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("y",))
+    cfg = ModelConfig(backend="stream", stream_steps=2, physics=True,
+                      physics_every=2, drag_tau=86400.0,
+                      dtype="float64", stats=False)
+    out_m = run_model(128, 128, 2, 300.0, 4, config=cfg, mesh=mesh)
+    out_1 = run_model(128, 128, 2, 300.0, 4, config=cfg)
+    for name, a, b in zip("puvtq", out_1[:5], out_m[:5]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-9, atol=1e-9,
+                                   err_msg=f"field {name}")
+    np.testing.assert_allclose(np.asarray(out_m[5].gt),
+                               np.asarray(out_1[5].gt), rtol=1e-9)
