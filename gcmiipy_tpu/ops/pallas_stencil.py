@@ -953,7 +953,7 @@ def block_chunk_counts_split(polar_mask, tile_j, lo, hi, split_tau,
 
 def matsuno_block_stages(base_like, lgeom, keep, mask_ref, nch, CS_ref,
                          CwSw_ref, dt, coriolis, split_fwd, split_inv, prec,
-                         dtype, q_limiter=False):
+                         dtype, q_limiter=False, factor_dma=None):
     """Stage functions of the whole-step block body.
 
     The per-block Matsuno step is a serial chain of alternating VPU and
@@ -1062,6 +1062,62 @@ def matsuno_block_stages(base_like, lgeom, keep, mask_ref, nch, CS_ref,
                   else CwSw_ref[pl.ds(s, CH2), :])
             return Y + d(ab, Wh)
 
+        def body_streamed(c, Y):
+            # factor matrices ride in HBM and stream through two VMEM
+            # chunk slots with double-buffered DMA (wide grids: the
+            # O(W^2) factors do not fit VMEM past W=2048 — VMEM then
+            # holds O(W * chunk), not O(W^2))
+            cs_slots, cw_slots, cs_sem, cw_sem = factor_dma
+            mk = pltpu.make_async_copy
+
+            def dmas(cc, slot):
+                s = pl.multiple_of(cc * CH2, CH2)
+                src_cs = (CS_ref.at[:, :, pl.ds(s, CH2)] if split_fwd
+                          else CS_ref.at[:, pl.ds(s, CH2)])
+                src_cw = (CwSw_ref.at[:, pl.ds(s, CH2), :] if split_inv
+                          else CwSw_ref.at[pl.ds(s, CH2), :])
+                return (mk(src_cs, cs_slots.at[slot], cs_sem.at[slot]),
+                        mk(src_cw, cw_slots.at[slot], cw_sem.at[slot]))
+
+            slot = c % 2
+
+            @pl.when(c + 1 < ntot)
+            def _():
+                for dma in dmas(c + 1, 1 - slot):
+                    dma.start()
+
+            for dma in dmas(c, slot):
+                dma.wait()
+            s = pl.multiple_of(c * CH2, CH2)
+            mcc = bcast_mask(mask_ref[lo:hi, pl.ds(s, CH2)], CH2)
+            if split_fwd:
+                Mh = cs_slots[slot, 0]
+                Ml = cs_slots[slot, 1]
+                ab = (d(Xh, Mh) + d(Xh, Ml) + d(Xl, Mh)) * mcc
+            else:
+                ab = mm_plain(X, cs_slots[slot]) * mcc
+            if split_inv:
+                Wh = cw_slots[slot, 0]
+                Wl = cw_slots[slot, 1]
+                abh = ab.astype(jnp.bfloat16).astype(dtype)
+                return Y + d(abh, Wh) + d(abh, Wl) + d(ab - abh, Wh)
+            return Y + mm_plain(ab, cw_slots[slot])
+
+        if factor_dma is not None:
+            cs_slots, cw_slots, cs_sem, cw_sem = factor_dma
+            mk0 = pltpu.make_async_copy
+            CH2_ = 2 * FILTER_CHUNK
+
+            @pl.when(ntot > 0)
+            def _():
+                src_cs = (CS_ref.at[:, :, pl.ds(0, CH2_)] if split_fwd
+                          else CS_ref.at[:, pl.ds(0, CH2_)])
+                src_cw = (CwSw_ref.at[:, pl.ds(0, CH2_), :] if split_inv
+                          else CwSw_ref.at[pl.ds(0, CH2_), :])
+                mk0(src_cs, cs_slots.at[0], cs_sem.at[0]).start()
+                mk0(src_cw, cw_slots.at[0], cw_sem.at[0]).start()
+            return jax.lax.fori_loop(0, ntot, body_streamed, X)
+
         Y = jax.lax.fori_loop(0, nsp, body, X)
         if selective:
             Y = jax.lax.fori_loop(nsp, ntot, body_cheap, Y)
@@ -1117,7 +1173,7 @@ def matsuno_block_stages(base_like, lgeom, keep, mask_ref, nch, CS_ref,
 
 def matsuno_block_body(base, lgeom, keep, mask_ref, nch, CS_ref, CwSw_ref,
                        dt, coriolis, split_fwd, split_inv, prec, dtype,
-                       q_limiter=False):
+                       q_limiter=False, factor_dma=None):
     """BOTH Matsuno halves (predictor + corrector, incl. the two banded
     in-VMEM DFT polar-filter rounds) on one rows-padded latitude block.
 
@@ -1150,7 +1206,7 @@ def matsuno_block_body(base, lgeom, keep, mask_ref, nch, CS_ref, CwSw_ref,
     pre_half, filter_half, post_half, crop = matsuno_block_stages(
         base, lgeom, keep, mask_ref, nch, CS_ref, CwSw_ref,
         dt, coriolis, split_fwd, split_inv, prec, dtype,
-        q_limiter=q_limiter)
+        q_limiter=q_limiter, factor_dma=factor_dma)
 
     s1 = pre_half(base)
     f1 = filter_half(s1[0], s1[1])

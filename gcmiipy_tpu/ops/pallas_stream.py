@@ -61,11 +61,16 @@ def unpack_state(packed, layers):
             packed[1 + 2 * L:1 + 3 * L], packed[1 + 3 * L:1 + 4 * L])
 
 
-# Widest grid the streaming kernel carries: past MEGA_MAX_WIDTH (the v4
-# limit) the DFT factor matrices are stored bf16-compact (see below) and
-# latitude tiles shrink, which fits W=2048 where v4 measured 172MB > the
-# 128MB chip.  Beyond 2048 the O(W^2) factors do not fit in any form.
-STREAM_MAX_WIDTH = 2048
+# Widest grid whose DFT factor matrices stay RESIDENT in VMEM: past
+# MEGA_MAX_WIDTH (the v4 limit) they are stored bf16-compact (see below)
+# and latitude tiles shrink, which fits W=2048 where v4 measured 172MB >
+# the 128MB chip.
+STREAM_RESIDENT_MAX_WIDTH = 2048
+# Past that, the factors ride in HBM and stream through two VMEM chunk
+# slots with double-buffered DMA inside the banded filter loop
+# (matsuno_block_stages body_streamed): VMEM holds O(W * FILTER_CHUNK),
+# not O(W^2).  The remaining O(W^2) is HBM capacity only.
+STREAM_MAX_WIDTH = 8192
 
 
 def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
@@ -74,7 +79,8 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
                        vmem_limit_bytes=125 * 1024 * 1024,
                        q_limiter=False, pipeline=False, _copy_body=False,
                        _wide_factor_dtype=None, filter_split_tau=0.0,
-                       local_height=None, geom_as_args=False):
+                       local_height=None, geom_as_args=False,
+                       _stream_factors=None):
     """Build ``multi(S) -> S`` running ``steps`` Matsuno steps in one launch.
 
     ``S`` is the packed double buffer ``(2, 1+4L, H, W)``: buffer 0 holds
@@ -114,9 +120,9 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
         raise ValueError(f"steps must be even (buffer ping-pong), got {steps}")
     if not interpret and W > STREAM_MAX_WIDTH:
         raise ValueError(
-            f"W={W} > {STREAM_MAX_WIDTH}: the O(W^2) DFT factor matrices do "
-            "not fit VMEM even bf16-compact — use the v1 'fused' pipeline "
-            "or the XLA backend")
+            f"W={W} > {STREAM_MAX_WIDTH}: the streamed O(W*chunk) factor "
+            "slots still leave O(W) block rows beyond VMEM at this width "
+            "— use the v1 'fused' pipeline or the XLA backend")
     # Wide grids (past the v4 limit): hi/lo-split bf16 factor matrices
     # (forward AND inverse; see the split_inv note below — a 1-pass
     # inverse is measurably unstable on wide grids) + small latitude
@@ -124,6 +130,11 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
     # f32 matrix and carries f32-level fidelity.
     wide = W > MEGA_MAX_WIDTH and not interpret
     wide_store = jnp.dtype(_wide_factor_dtype or jnp.bfloat16)
+    # Factor residency: beyond STREAM_RESIDENT_MAX_WIDTH the factors
+    # cannot sit in VMEM at all — stream them chunk-by-chunk from HBM
+    # (_stream_factors=True forces it for tests).
+    stream_factors = (_stream_factors if _stream_factors is not None
+                      else W > STREAM_RESIDENT_MAX_WIDTH and not interpret)
     if tile_j is None:
         from gcmiipy_tpu.ops.pallas_stencil import default_step_tile_j
         # measured (v5e, 9x512x1024, 200-step): tj=64 1.886-1.983 ms/step
@@ -167,7 +178,15 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
     # precision-keyed (not f32_hw-keyed) so interpret-mode tests exercise
     # the two-loop control flow; off-hardware both loop bodies are exact.
     selective = (filter_split_tau > 0 and band_limit
-                 and filter_precision in ("high", "fwd_high"))
+                 and filter_precision in ("high", "fwd_high")
+                 and not stream_factors)
+    if stream_factors and pipeline:
+        import warnings
+
+        warnings.warn("stream_factors (W > resident limit) does not "
+                      "compose with the pair pipeline; running the plain "
+                      "block loop", stacklevel=2)
+        pipeline = False
 
     # ---- host-side constants (same prep as the v4 kernel) ----------------
     CS_np, CwSw_np, nb = polar_filter.banded_pair_matrices(
@@ -215,8 +234,9 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
     def kernel(S_in, dxj_ref, dxh_ref, lat_ref, hm_ref, wall_ref,
                sigt_ref, sigb_ref, sig_ref, dsig_ref,
                CS_ref, CwSw_ref, mask_ref, nch_ref, ns_ref,
-               S_ref, ibuf, obuf, mwin, isem, osem):
+               S_ref, ibuf, obuf, mwin, isem, osem, *fbufs):
         del S_in  # aliased with S_ref; all access goes through S_ref
+        factor_dma = tuple(fbufs) if fbufs else None
         mk = pltpu.make_async_copy
 
         def in_dmas(par, slot, j):
@@ -286,7 +306,7 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
                 base, lgeom, keep, mwin, nch,
                 CS_ref, CwSw_ref,
                 dt, coriolis, split_fwd, split_inv, prec, dtype,
-                q_limiter=q_limiter)
+                q_limiter=q_limiter, factor_dma=factor_dma)
             return jnp.concatenate(
                 [p_n[None], u_n, v_n, t_n, q_n], axis=0)
 
@@ -437,21 +457,40 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    aspec = pl.BlockSpec(memory_space=pl.ANY)
+    # streamed factors live in HBM (ANY) and flow through 2 VMEM chunk
+    # slots; resident factors are whole-array VMEM inputs
+    fspec = aspec if stream_factors else vspec
+    scratch = [
+        pltpu.VMEM((n_islots, NP, tj_in, W), dtype),
+        pltpu.VMEM((2, NP, tile_j, W), dtype),
+        pltpu.VMEM((2, tj_in, ncols) if pipeline
+                   else (tj_in, ncols), dtype),
+        pltpu.SemaphoreType.DMA((n_islots, 3)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if stream_factors:
+        CH2 = 2 * FILTER_CHUNK
+        cs_dt = jnp.bfloat16 if split_fwd else (wide_store if wide
+                                                else dtype)
+        cw_dt = jnp.bfloat16 if split_inv else (wide_store if wide
+                                                else dtype)
+        scratch += [
+            pltpu.VMEM((2, 2, W, CH2) if split_fwd else (2, W, CH2),
+                       cs_dt),
+            pltpu.VMEM((2, 2, CH2, W) if split_inv else (2, CH2, W),
+                       cw_dt),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     call = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [vspec] * 12
+        in_specs=[aspec] + [vspec] * 9 + [fspec, fspec, vspec]
                  + [sspec, sspec],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((2, NP, H, W), dtype),
         input_output_aliases={0: 0},
-        scratch_shapes=[
-            pltpu.VMEM((n_islots, NP, tj_in, W), dtype),
-            pltpu.VMEM((2, NP, tile_j, W), dtype),
-            pltpu.VMEM((2, tj_in, ncols) if pipeline
-                       else (tj_in, ncols), dtype),
-            pltpu.SemaphoreType.DMA((n_islots, 3)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes),
         interpret=interpret,
@@ -487,7 +526,7 @@ def make_stream_matsuno(geom, dt, steps_per_launch=8, coriolis=False,
                         dtype=jnp.float32, tile_j=None,
                         filter_precision="high", band_limit=True,
                         interpret=False, q_limiter=False, pipeline=False,
-                        filter_split_tau=0.0):
+                        filter_split_tau=0.0, _stream_factors=None):
     """Plain-state wrapper: ``advance(p,u,v,t,q, n) -> (p,u,v,t,q)``.
 
     Packs once, scans the streaming kernel over ``n // steps_per_launch``
@@ -497,7 +536,8 @@ def make_stream_matsuno(geom, dt, steps_per_launch=8, coriolis=False,
         geom, dt, steps_per_launch, coriolis=coriolis, dtype=dtype,
         tile_j=tile_j, filter_precision=filter_precision,
         band_limit=band_limit, interpret=interpret, q_limiter=q_limiter,
-        pipeline=pipeline, filter_split_tau=filter_split_tau)
+        pipeline=pipeline, filter_split_tau=filter_split_tau,
+        _stream_factors=_stream_factors)
     L = geom.layers
 
     def advance(p, u, v, t, q, n):

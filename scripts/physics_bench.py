@@ -1,12 +1,13 @@
 """Full-model production step cost: dynamics kernel + column physics.
 
 bench.py times the pure-dynamics hot loop; production runs add the grey
-radiation, optional convective adjustment and surface drag between steps
+radiation, optional convective adjustment and surface drag
 (reference ``no_limits_2_5d.py:79-104``, physics enabled).  This measures
-that full step on the fastest physics-capable backend (``mega4`` — the
-streaming kernel batches K steps per launch and cannot interleave
-per-step physics) so the production overhead is a recorded number, not a
-guess.
+that full step.  Under ``--backend stream`` the extras run BETWEEN
+multi-step launches at the ``--physics-every`` cadence (dt_eff scaled;
+the GCM-II radiation-subcycling practice — GCM-II called radiation every
+5 model hours); per-step backends apply them via lax.cond at the same
+cadence.
 
 Usage: python scripts/physics_bench.py [--height 512 --width 1024
                                         --layers 9 --steps 200]
@@ -30,6 +31,12 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--dt", type=float, default=30.0)
     ap.add_argument("--backend", default="mega4")
+    ap.add_argument("--no-convection", action="store_true",
+                    help="radiation+drag only (isolates the convection "
+                         "share)")
+    ap.add_argument("--physics-every", type=int, default=1,
+                    help="physics cadence (dt_eff = N*dt); under the "
+                         "stream backend extras run between launches")
     args = ap.parse_args()
 
     import jax
@@ -49,9 +56,11 @@ def main():
         ("dynamics", ModelConfig(backend=args.backend, dt=args.dt,
                                  stats=False, guard=False)),
         ("physics", ModelConfig(backend=args.backend, dt=args.dt,
-                                physics=True, convection=True,
+                                physics=True,
+                                convection=not args.no_convection,
                                 drag_tau=86400.0, stats=False,
-                                guard=False)),
+                                guard=False,
+                                physics_every=args.physics_every)),
     ]:
         state = gen_model_state(geom, cfg)
         run = make_run_fn(geom, cfg, timesteps=args.steps)

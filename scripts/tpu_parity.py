@@ -294,6 +294,32 @@ def main():
                        f"max per-field rel = {rel:.3e} (bound "
                        f"{4 * args.step1_rel_bound})")
 
+        # ---- gate 5b: HBM-STREAMED factor matrices (W > 2048) ------------
+        # past STREAM_RESIDENT_MAX_WIDTH the banded factors ride in HBM
+        # and stream through two VMEM chunk slots with double-buffered
+        # DMA inside the filter loop (round-4; matsuno_block_stages
+        # body_streamed) — numerics are the same split-bf16 passes, so
+        # the gate pins the DMA choreography at the wide tolerance, on a
+        # W=4096 grid no resident layout can carry at all.
+        w4geom = geometry.gen_geometry(32, 4096, 3,
+                                       sig_func=geometry.manabe_sig)
+        w4geom = w4geom.astype(np.float32)
+        w4state = _initial(w4geom, jnp.float32)
+        w4step_x = jax.jit(lambda *s: core25d.matsuno_timestep(
+            *s, wdt, w4geom, filter_fn=polar_filter.arakawa_1977))
+        w4adv = jax.jit(pstream.make_stream_matsuno(
+            w4geom, wdt, steps_per_launch=Kw, interpret=interpret),
+            static_argnums=5)
+        w4N = tuple(np.asarray(x) for x in jax.block_until_ready(
+            w4adv(*w4state, Kw)))
+        w4xN = run_steps(w4step_x, w4state, Kw)
+        rel = rel_diff(w4xN, w4N)
+        all_ok &= gate(f"streamed-factor stream (32x4096, HBM factors) "
+                       f"{Kw}-step vs XLA", rel < 4 * args.step1_rel_bound,
+                       f"max per-field rel = {rel:.3e} (bound "
+                       f"{4 * args.step1_rel_bound})")
+        wN = w4N
+
     finite = all(np.isfinite(a).all()
                  for a in list(mN) + list(fN) + list(sN) + list(shN)
                  + (list(wN) if wN is not None else []))

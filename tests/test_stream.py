@@ -339,3 +339,25 @@ def test_block_chunk_counts_split_properties():
     rows_strong = polar_filter.band_chunk_counts_above(geom.polar_mask, 0.1)
     rows_all = polar_filter.band_chunk_counts(geom.polar_mask)
     assert (rows_strong <= rows_all).all()
+
+
+def test_stream_factor_streaming_matches_resident():
+    """HBM-streamed factor matrices (the W > resident-limit path: two
+    double-buffered VMEM chunk slots inside the banded filter loop) ==
+    the resident-factor kernel to f64 roundoff in interpret mode — pins
+    the chunk-slot DMA choreography; hardware parity comes from the wide
+    tpu_parity gate."""
+    geom = geometry.gen_geometry(16, 256, 3, sig_func=geometry.manabe_sig)
+    state = _initial(geom, seed=9)
+    kw = dict(steps_per_launch=2, dtype=jnp.float64, tile_j=8,
+              interpret=True)
+    resident = pstream.make_stream_matsuno(geom, 300.0,
+                                           _stream_factors=False, **kw)
+    streamed = pstream.make_stream_matsuno(geom, 300.0,
+                                           _stream_factors=True, **kw)
+    a = resident(*state, 2)
+    b = streamed(*state, 2)
+    for name, x, y in zip("puvtq", a, b):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=1e-12, atol=1e-12,
+                                   err_msg=f"field {name}")
