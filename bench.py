@@ -52,7 +52,8 @@ def step_roofline_seconds(height, width, layers, dtype="float32",
 
 
 def filter_mxu_floor_seconds(geom, tile_j, filter_precision,
-                             mxu_flops=MXU_BF16_FLOPS["v5e"]):
+                             mxu_flops=MXU_BF16_FLOPS["v5e"],
+                             split_tau=0.0):
     """Matmul-FLOP lower bound on the banded in-kernel polar filter.
 
     The stream/mega4 filter is matmul-FLOPs-bound (round-3 stage
@@ -63,16 +64,24 @@ def filter_mxu_floor_seconds(geom, tile_j, filter_precision,
     (ops/pallas_stencil.py `correction`).
     """
     from gcmiipy_tpu.ops.pallas_stencil import (FILTER_CHUNK,
-                                                block_chunk_counts)
+                                                block_chunk_counts,
+                                                block_chunk_counts_split)
     W, L = geom.width, geom.layers
-    nch = block_chunk_counts(geom.polar_mask, tile_j, 4, tile_j + 12)
     nmm_fwd = 3 if filter_precision in ("high", "fwd_high") else 1
     nmm_inv = 3 if filter_precision == "high" else 1
     if filter_precision == "highest":
         nmm_fwd = nmm_inv = 2  # HIGHEST precision ~ 2x the default passes
     R = 2 * L * (tile_j + 8)                  # filter-batch rows per block
     per_chunk = 2.0 * R * W * FILTER_CHUNK    # FLOPs of ONE matmul pass
-    flops = 2 * int(nch.sum()) * (nmm_fwd + nmm_inv) * per_chunk
+    if split_tau > 0 and filter_precision in ("high", "fwd_high"):
+        pair = block_chunk_counts_split(geom.polar_mask, tile_j, 4,
+                                        tile_j + 12, split_tau)
+        nsp, ntot = int(pair[:, 0].sum()), int(pair[:, 1].sum())
+        passes = nsp * (nmm_fwd + nmm_inv) + (ntot - nsp) * 2
+    else:
+        nch = block_chunk_counts(geom.polar_mask, tile_j, 4, tile_j + 12)
+        passes = int(nch.sum()) * (nmm_fwd + nmm_inv)
+    flops = 2 * passes * per_chunk
     return flops / mxu_flops
 
 
@@ -310,12 +319,16 @@ def main():
     ap.add_argument("--precision", default="high",
                     choices=["highest", "high", "fwd_high", "default"])
     ap.add_argument("--chip", default="v5e", choices=sorted(HBM_BYTES_PER_SEC))
-    ap.add_argument("--split-tau", type=float, default=0.0,
+    ap.add_argument("--split-tau", type=float, default=None,
                     help="precision-selective banding threshold (chunks "
-                         "with damping correction below it run 1-pass)")
+                         "with damping correction below it run 1-pass); "
+                         "default = the ModelConfig production default")
     ap.add_argument("--no-probe", action="store_true",
                     help="skip the measured stream stage decomposition")
     args = ap.parse_args()
+    if args.split_tau is None:
+        from gcmiipy_tpu.model.config import ModelConfig
+        args.split_tau = ModelConfig().filter_split_tau
 
     tpu_pps, sec_per_step, backend = tpu_throughput(
         args.height, args.width, args.layers, args.steps,
@@ -347,7 +360,8 @@ def main():
         if tj == 64 and args.precision in ("high", "highest"):
             tj = 32
         filt_s = filter_mxu_floor_seconds(geom_b, tj, args.precision,
-                                          MXU_BF16_FLOPS[args.chip])
+                                          MXU_BF16_FLOPS[args.chip],
+                                          split_tau=args.split_tau)
         compute_model = {
             "filter_mxu_floor_ms": filt_s * 1e3,
             "mxu_peak_flops": MXU_BF16_FLOPS[args.chip],

@@ -145,9 +145,11 @@ class ModelConfig:
     # banded chunks whose damping correction stays below this threshold
     # run 1-pass bf16 matmuls instead of the split passes (their residual
     # is <= 2^-9 * tau of the field, on weakly-damped — dynamically
-    # stable — wavenumbers; scripts/filter_accuracy.py measures it).
-    # 0 disables (every active chunk at full split precision).
-    filter_split_tau: float = 0.0
+    # stable — wavenumbers).  0 disables (every active chunk split).
+    # Default 1/8: MEASURED sound on v5e (scripts/filter_accuracy.py:
+    # 10-step flagship drift identical to tau=0 at 4 significant digits
+    # for tau up to 0.3) and worth ~0.08 ms/step at 9x512x1024.
+    filter_split_tau: float = 0.125
 
     # Diagnostics cadence: steps per scan chunk when collecting stats
     stats: bool = True

@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_case(physics, steps, dtype="float64", convection=False,
-             drag_tau=0.0):
+             drag_tau=0.0, seasonal=False):
     import jax
     import numpy as np
 
@@ -31,7 +31,8 @@ def run_case(physics, steps, dtype="float64", convection=False,
     from gcmiipy_tpu.model.config import ModelConfig
 
     config = ModelConfig(dt=1800.0, dtype=dtype, physics=physics, guard=True,
-                         convection=convection, drag_tau=drag_tau)
+                         convection=convection, drag_tau=drag_tau,
+                         seasonal=seasonal)
     geom = geometry.gen_geometry(8, 8, 3, sig_func=geometry.manabe_sig)
     geom = geom.astype(np.dtype(dtype))
     state = driver.gen_model_state(geom, config)
@@ -49,6 +50,7 @@ def run_case(physics, steps, dtype="float64", convection=False,
         "physics": physics,
         "convection": convection,
         "drag_tau": drag_tau,
+        "seasonal": seasonal,
         "steps": steps,
         "ok": ok,
         "blown_step": blown,
@@ -100,12 +102,21 @@ def main():
     # reference's effective configuration — known to trip the guard at
     # ~6308 steps); physics stabilized by the beyond-reference convective
     # adjustment + 2-day Rayleigh surface drag.
-    for physics, conv, tau in ((False, False, 0.0), (True, False, 0.0),
-                               (True, True, 2 * 86400.0)):
-        rec = run_case(physics, args.steps, dtype=args.dtype,
-                       convection=conv, drag_tau=tau)
+    # the fourth case is the DAILY/annual-cycle run: seasonal declination
+    # through a full model year (physics + convection + drag; steps capped
+    # at one year = 17,520 dt=1800 steps when --steps exceeds it)
+    for physics, conv, tau, seas in (
+            (False, False, 0.0, False), (True, False, 0.0, False),
+            (True, True, 2 * 86400.0, False),
+            (True, True, 2 * 86400.0, True)):
+        n = max(args.steps, 17520) if seas else args.steps
+        rec = run_case(physics, n, dtype=args.dtype,
+                       convection=conv, drag_tau=tau, seasonal=seas)
         results.append(rec)
-        if physics and not conv:
+        if seas:
+            # the annual-cycle run must go the (seasonal) distance
+            healthy = rec["ok"] and rec["p_finite"]
+        elif physics and not conv:
             # guard freezes at the last good step; healthy = no NaNs and
             # survived the minimum horizon (see --physics-min-steps)
             healthy = rec["p_finite"] and (
