@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gcmiipy_tpu import constants
 from gcmiipy_tpu.dynamics import core25d, energy
 from gcmiipy_tpu.grid import geometry
 from gcmiipy_tpu.model.config import ModelConfig
@@ -71,7 +72,11 @@ def solar_timestep(t, p, g, dt, utc, geom, config, q=None):
     sig = jnp.asarray(geom.sig, t.dtype)
     ptop = jnp.asarray(geom.ptop, t.dtype)
     tp = p * sig + ptop
-    tt = thermo.to_true_temp(t, tp)
+    # one Exner-factor evaluation serves both conversions (pow = exp*log
+    # on the VPU; to_true_temp + to_potential_temp would evaluate it
+    # twice) — same expression as thermo.to_true_temp/to_potential_temp
+    exner_inv = (constants.P0 / tp) ** constants.kappa
+    tt = t / exner_inv
     declination = (radiation.solar_declination(utc, config.obliquity,
                                                config.year_days)
                    if config.seasonal else 0.0)
@@ -92,7 +97,7 @@ def solar_timestep(t, p, g, dt, utc, geom, config, q=None):
         from gcmiipy_tpu.physics import convection
         dsig = jnp.asarray(geom.dsig, t.dtype)
         tt_n = convection.convective_adjustment(tt_n, tp, p * dsig)
-    t_n = thermo.to_potential_temp(tt_n, tp)
+    t_n = tt_n * exner_inv            # to_potential_temp, factor reused
     return t_n, GroundVars(gt_n, g.gw, g.snow, g.ice)
 
 

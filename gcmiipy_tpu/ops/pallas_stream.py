@@ -140,8 +140,10 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
         # measured (v5e, 9x512x1024, 200-step): tj=64 1.886-1.983 ms/step
         # vs tj=32 1.946-2.009 — the body amplification win (1.25x vs
         # 1.5x) slightly beats the coarser filter-band granularity
-        tile_j = 16 if wide else (32 if pipeline else
-                                  default_step_tile_j(W, L))
+        # wide tiles: 16 rows fit W=2048; W=4096's row blocks + factor
+        # slots + transients need 8 (measured scoped-VMEM OOM at 16)
+        tile_j = ((16 if W <= 2048 else 8) if wide
+                  else (32 if pipeline else default_step_tile_j(W, L)))
         if tile_j == 64 and filter_precision in ("high", "highest"):
             # tile-64 under a split/exact INVERSE does not compile even
             # with bf16-stored factor pairs (the extra inverse-split
@@ -177,9 +179,13 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
     # damped chunks run 1-pass instead of the split passes.  The flag is
     # precision-keyed (not f32_hw-keyed) so interpret-mode tests exercise
     # the two-loop control flow; off-hardware both loop bodies are exact.
+    # Wide grids opt out: the second loop body's scoped-VMEM cost tips
+    # W=2048 over the 125MB limit (measured +1.46MB over), and the mask
+    # study shows near-zero chunk savings there anyway (the anisotropic
+    # mask damps almost everything strongly).
     selective = (filter_split_tau > 0 and band_limit
                  and filter_precision in ("high", "fwd_high")
-                 and not stream_factors)
+                 and not stream_factors and not wide)
     if stream_factors and pipeline:
         import warnings
 

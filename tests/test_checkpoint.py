@@ -170,3 +170,36 @@ def test_guard_temperature_bounds():
     state2 = driver.gen_model_state(geom, config2)
     _, _, info2 = driver.make_run_fn(geom, config2, 3)(state2)
     assert bool(info2.ok) and int(info2.blown_step) == -1
+
+
+def test_stream_resume_preserves_cadence(tmp_path):
+    """Checkpoint/restore across stream chunks preserves the global step
+    counter the physics/Shapiro cadences key off: run 8 steps straight ==
+    run 4, checkpoint, restore, run 4 — with physics_every=4 and
+    shapiro_every=8 active (the second half's cadence points only fire if
+    the restored counter is right)."""
+    from gcmiipy_tpu.grid import geometry as geo
+    from gcmiipy_tpu.model.config import ModelConfig
+
+    cfg = ModelConfig(backend="stream", stream_steps=4, dtype="float64",
+                      physics=True, physics_every=4, shapiro_every=8,
+                      drag_tau=86400.0, stats=False, dt=300.0)
+    geom = geo.gen_geometry(16, 128, 3,
+                            sig_func=geo.manabe_sig).astype(np.float64)
+    state = driver.gen_model_state(geom, cfg)
+    run8 = driver.make_run_fn(geom, cfg, 8)
+    run4 = driver.make_run_fn(geom, cfg, 4)
+
+    full, _ = run8(driver.gen_model_state(geom, cfg))
+    half, _ = run4(state)
+    checkpoint.save_checkpoint(str(tmp_path), half, 4, use_orbax=False)
+    restored, _ = checkpoint.restore_checkpoint(str(tmp_path))
+    assert int(restored.step) == 4
+    resumed, _ = run4(restored)
+
+    for name, a, b in zip("puvtq", full.prog, resumed.prog):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-12, atol=1e-12,
+                                   err_msg=f"field {name}")
+    np.testing.assert_allclose(np.asarray(resumed.ground.gt),
+                               np.asarray(full.ground.gt), rtol=1e-12)
