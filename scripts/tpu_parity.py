@@ -300,6 +300,32 @@ def main():
                    f"max per-field rel = {rel:.3e} (bound "
                    f"{args.step1_rel_bound})")
 
+    # ---- gate 6: FULL MODEL on stream vs mega4 at the same cadence --------
+    # physics/drag run BETWEEN stream launches (round 4); with
+    # physics_every == the launch size the numerics must match the
+    # per-step mega4 path exactly (same block body, same cadence
+    # arithmetic, identical XLA physics ops)
+    from gcmiipy_tpu.model import driver as driver_mod
+    from gcmiipy_tpu.model.config import ModelConfig as _MC
+
+    phys_kw = dict(height=args.height, width=args.width,
+                   layers=args.layers, dt=args.dt, dtype="float32",
+                   physics=True, physics_every=2, convection=True,
+                   drag_tau=86400.0, stats=False)
+    outs = {}
+    for be in ("stream", "mega4"):
+        cfg_p = _MC(backend=be, stream_steps=2, **phys_kw)
+        st0 = driver_mod.gen_model_state(geom, cfg_p)
+        run_p = driver_mod.make_run_fn(geom, cfg_p, 4)
+        out = run_p(st0)
+        outs[be] = tuple(np.asarray(x) for x in jax.block_until_ready(
+            out[0].prog))
+    rel = rel_diff(outs["mega4"], outs["stream"])
+    all_ok &= gate("full model (physics_every=2) stream vs mega4, 4 steps",
+                   rel < args.step1_rel_bound,
+                   f"max per-field rel = {rel:.3e} (bound "
+                   f"{args.step1_rel_bound})")
+
     # ---- gate 5: wide-grid stream (split-bf16 DFT factors) vs XLA ---------
     # W > MEGA_MAX_WIDTH stores the banded factor matrices as hi/lo-split
     # bf16 pairs (forward AND inverse) and defaults tile_j=16
