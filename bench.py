@@ -163,21 +163,22 @@ def tpu_throughput(height, width, layers, steps, dtype="float32",
     dt = 30.0  # small dt: stability irrelevant for throughput, avoids NaN traps
 
     from gcmiipy_tpu.ops.pallas_stencil import MEGA_MAX_WIDTH
-    from gcmiipy_tpu.ops.pallas_stream import STREAM_MAX_WIDTH
+    from gcmiipy_tpu.ops.pallas_stream import stream_grid_supported
 
     state = (p, u, v, t, q)
     if backend in ("fused3", "fused4", "fused4noband") \
             and width > MEGA_MAX_WIDTH:
         # the in-VMEM-filter mega kernels top out at MEGA_MAX_WIDTH; the
-        # streaming kernel carries bf16-compact factors to STREAM_MAX_WIDTH
-        new = "stream" if width <= STREAM_MAX_WIDTH else "fused"
+        # streaming kernel goes further (resident factors to W=2048,
+        # HBM-streamed beyond on small-H grids)
+        new = "stream" if stream_grid_supported(geom) else "fused"
         print(f"# width {width} > {MEGA_MAX_WIDTH}: benching the "
               f"'{new}' pipeline instead", file=sys.stderr)
         backend = new
-    if backend.startswith("stream") and width > STREAM_MAX_WIDTH:
-        print(f"# width {width} > {STREAM_MAX_WIDTH}: O(W^2) DFT factors "
-              "do not fit VMEM; benching the v1 fused pipeline",
-              file=sys.stderr)
+    if backend.startswith("stream") and not stream_grid_supported(geom):
+        print(f"# grid {height}x{width} outside the measured streaming "
+              "envelope (W <= 2048 any H, or W <= 4096 with H <= 64); "
+              "benching the v1 fused pipeline", file=sys.stderr)
         backend = "fused"
     if backend.startswith("stream"):
         # streaming multi-step kernel: K whole Matsuno steps per launch,

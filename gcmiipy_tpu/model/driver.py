@@ -378,20 +378,18 @@ def _make_stream_ring_run_fn(geom, config, timesteps, mesh):
     """
     import warnings
 
-    from gcmiipy_tpu.dynamics.fused import fused_grid_supported
-    from gcmiipy_tpu.ops.pallas_stream import STREAM_MAX_WIDTH
+    from gcmiipy_tpu.ops.pallas_stream import stream_grid_supported
     from gcmiipy_tpu.ops.pallas_stencil import PHJ
     from gcmiipy_tpu.parallel import shard_step
 
     ny = mesh.shape.get("y", 1)
     Hl = geom.height // ny if geom.height % ny == 0 else 0
     k_cap = (Hl // PHJ) - (Hl // PHJ) % 2
-    if (timesteps < 2 or not fused_grid_supported(geom)
-            or geom.width > STREAM_MAX_WIDTH or k_cap < 2):
+    if (timesteps < 2 or not stream_grid_supported(geom) or k_cap < 2):
         import dataclasses as _dc
         warnings.warn(
-            f"sharded backend 'stream' needs >= 2 steps, 8 | H, 128 | W "
-            f"<= {STREAM_MAX_WIDTH} and shard rows >= 2*PHJ; "
+            f"sharded backend 'stream' needs >= 2 steps, a grid inside "
+            f"the streaming envelope and shard rows >= 2*PHJ; "
             f"{timesteps} steps on {geom.height}x{geom.width} over "
             f"{ny} shards falls back to the 'mega4' ring", stacklevel=2)
         return make_run_fn(geom, _dc.replace(config, backend="mega4"),
@@ -522,18 +520,17 @@ def _make_stream_run_fn(geom, config, timesteps):
     """
     import warnings
 
-    from gcmiipy_tpu.dynamics.fused import fused_grid_supported
     from gcmiipy_tpu.ops import pallas_stream
-    from gcmiipy_tpu.ops.pallas_stream import STREAM_MAX_WIDTH
+    from gcmiipy_tpu.ops.pallas_stream import stream_grid_supported
 
-    if (timesteps < 2 or not fused_grid_supported(geom)
-            or geom.width > STREAM_MAX_WIDTH or geom.height < 16):
+    if timesteps < 2 or not stream_grid_supported(geom):
         import dataclasses as _dc
         warnings.warn(
-            f"backend 'stream' needs >= 2 steps and a grid with 8 | H "
-            f"(H >= 16) and 128 | W <= {STREAM_MAX_WIDTH}; "
-            f"{timesteps} steps on {geom.height}x{geom.width} falls back "
-            "to 'mega4'", stacklevel=2)
+            f"backend 'stream' needs >= 2 steps and a grid inside the "
+            f"measured streaming envelope (8 | H >= 16, 128 | W <= 2048 "
+            f"at any height, or W <= 4096 with H <= 64); {timesteps} "
+            f"steps on {geom.height}x{geom.width} falls back to 'mega4'",
+            stacklevel=2)
         return make_run_fn(geom, _dc.replace(config, backend="mega4"),
                            timesteps)
 

@@ -70,7 +70,25 @@ STREAM_RESIDENT_MAX_WIDTH = 2048
 # slots with double-buffered DMA inside the banded filter loop
 # (matsuno_block_stages body_streamed): VMEM holds O(W * FILTER_CHUNK),
 # not O(W^2).  The remaining O(W^2) is HBM capacity only.
-STREAM_MAX_WIDTH = 8192
+STREAM_MAX_WIDTH = 4096
+
+
+def stream_grid_supported(geom):
+    """Practical streaming-kernel envelope (measured on v5e, round 4).
+
+    Resident factors carry any H to W=2048 (the production-'high' W=2048
+    kernel needs the 127MB wide VMEM self-limit); HBM-streamed factors
+    carry W=4096 on SMALL-H grids (validated at 32x4096, parity gate 5b).
+    At H=512, W=4096 the block body spills ~85MB of REGISTERS (full
+    4096-lane rows exceed the VPU register file with this code structure,
+    independent of factor residency) — lon-tiling inside the block is the
+    future fix; the v1 pipeline serves those grids today.
+    """
+    H, W = geom.height, geom.width
+    if H % 8 or W % 128 or H < 16:
+        return False
+    return W <= STREAM_RESIDENT_MAX_WIDTH or (W <= STREAM_MAX_WIDTH
+                                              and H <= 64)
 
 
 def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
@@ -130,6 +148,10 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
     # f32 matrix and carries f32-level fidelity.
     wide = W > MEGA_MAX_WIDTH and not interpret
     wide_store = jnp.dtype(_wide_factor_dtype or jnp.bfloat16)
+    if wide and vmem_limit_bytes == 125 * 1024 * 1024:
+        # the production-'high' W=2048 kernel measures 126.45MB scoped
+        # (1.45MB over the default self-limit); v5e capacity is 128MB
+        vmem_limit_bytes = 127 * 1024 * 1024
     # Factor residency: beyond STREAM_RESIDENT_MAX_WIDTH the factors
     # cannot sit in VMEM at all — stream them chunk-by-chunk from HBM
     # (_stream_factors=True forces it for tests).
