@@ -361,9 +361,13 @@ def main():
               else default_step_tile_j(args.width, args.layers))
         if tj == 64 and args.precision in ("high", "highest"):
             tj = 32
+        # wide kernels disable selective banding (scoped-VMEM cost);
+        # keep the floor model consistent
+        model_tau = (0.0 if args.width > MEGA_MAX_WIDTH
+                     else args.split_tau)
         filt_s = filter_mxu_floor_seconds(geom_b, tj, args.precision,
                                           MXU_BF16_FLOPS[args.chip],
-                                          split_tau=args.split_tau)
+                                          split_tau=model_tau)
         compute_model = {
             "filter_mxu_floor_ms": filt_s * 1e3,
             "mxu_peak_flops": MXU_BF16_FLOPS[args.chip],
