@@ -356,7 +356,7 @@ def main():
                                                     default_step_tile_j)
         geom_b = geometry.gen_geometry(args.height, args.width, args.layers,
                                        sig_func=geometry.manabe_sig)
-        tj = ((16 if args.width <= 2048 else 8)
+        tj = ((16 if args.width <= 2048 and args.height <= 512 else 8)
               if args.width > MEGA_MAX_WIDTH
               else default_step_tile_j(args.width, args.layers))
         if tj == 64 and args.precision in ("high", "highest"):

@@ -334,7 +334,21 @@ def _resolve_stream_cadence(config, timesteps):
             # largest even divisor of g that fits in K (g is even, so 2
             # always qualifies)
             K = max(d for d in range(2, min(K, g) + 1, 2) if g % d == 0)
+        config = _dc.replace(config, stream_steps=K)
     return config, K
+
+
+def _cadence_clamp(config, K, k_cap):
+    """Clamp the launch size to ``k_cap`` (the ring-halo bound) WITHOUT
+    breaking cadence divisibility: cadence points must stay on chunk
+    boundaries, so the clamped K must still divide every active cadence
+    (re-derived from stream_steps, which _resolve_stream_cadence set to
+    the cadence-compatible K)."""
+    if K <= k_cap:
+        return K
+    g = config.stream_steps       # already divides every active cadence
+    cands = [d for d in range(2, k_cap + 1, 2) if g % d == 0]
+    return max(cands) if cands else min(2, k_cap)
 
 
 def _chunk_extras_state(state: ModelState, geom, config) -> ModelState:
@@ -396,7 +410,7 @@ def _make_stream_ring_run_fn(geom, config, timesteps, mesh):
                            timesteps, mesh=mesh)
 
     config, K = _resolve_stream_cadence(config, timesteps)
-    K = min(K, k_cap)
+    K = _cadence_clamp(config, K, k_cap)
     interpret = jax.default_backend() != "tpu"
     n_chunks, rem = divmod(timesteps, K)
 

@@ -162,9 +162,11 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
         # measured (v5e, 9x512x1024, 200-step): tj=64 1.886-1.983 ms/step
         # vs tj=32 1.946-2.009 — the body amplification win (1.25x vs
         # 1.5x) slightly beats the coarser filter-band granularity
-        # wide tiles: 16 rows fit W=2048; W=4096's row blocks + factor
-        # slots + transients need 8 (measured scoped-VMEM OOM at 16)
-        tile_j = ((16 if W <= 2048 else 8) if wide
+        # wide tiles: 16 rows fit W=2048 up to H=512; taller wide grids
+        # (the mask/heightmap row tables scale with H and the 'high'
+        # split-inverse spills registers) and W=4096 need 8 (measured
+        # scoped-VMEM OOMs at 16)
+        tile_j = ((16 if W <= 2048 and H <= 512 else 8) if wide
                   else (32 if pipeline else default_step_tile_j(W, L)))
         if tile_j == 64 and filter_precision in ("high", "highest"):
             # tile-64 under a split/exact INVERSE does not compile even
@@ -539,6 +541,9 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
                         CS_c, CwSw_c, mask, nch, ns_c)
 
         multi.tile_j = tile_j
+        # the caller building per-shard nch tables must match the
+        # kernel's selective decision (wide/stream_factors opt out)
+        multi.selective = selective
         return multi
 
     def multi(S):

@@ -488,8 +488,10 @@ def make_shard_stream_ring(mesh, geom, dt, steps_per_launch=2,
         return np.stack([ap[s * Hl: s * Hl + HP + 2 * hj]
                          for s in range(ny)])
 
-    selective = (filter_split_tau > 0 and band_limit
-                 and filter_precision in ("high", "fwd_high"))
+    # MUST mirror the kernel's decision (it opts out on wide /
+    # streamed-factor grids): a (nj, 2) table against a non-selective
+    # kernel would be read as trip counts = the SPLIT column
+    selective = multi.selective
     if selective:
         nch = np.stack([
             ps.block_chunk_counts_split(

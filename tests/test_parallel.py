@@ -437,3 +437,28 @@ def test_stream_ring_run_model_physics():
                                    err_msg=f"field {name}")
     np.testing.assert_allclose(np.asarray(out_m[5].gt),
                                np.asarray(out_1[5].gt), rtol=1e-9)
+
+
+def test_stream_ring_cadence_survives_halo_clamp():
+    """When the ring-halo bound clamps the launch size, cadence points
+    must still land on chunk boundaries: physics_every=10 on a mesh whose
+    shard rows cap K at 4 must clamp K to 2 (the largest even divisor of
+    the cadence), not 4 — and match the single-device run exactly."""
+    from jax.sharding import Mesh
+
+    from gcmiipy_tpu.model.config import ModelConfig
+    from gcmiipy_tpu.model.driver import run_model
+
+    # 8 shards x 32 rows: k_cap = (32 // 8) - 0 = 4; physics_every = 10
+    mesh = Mesh(np.array(jax.devices()[:8]), ("y",))
+    cfg = ModelConfig(backend="stream", stream_steps=10, physics=True,
+                      physics_every=10, drag_tau=86400.0,
+                      dtype="float64", stats=False)
+    out_m = run_model(256, 128, 2, 300.0, 10, config=cfg, mesh=mesh)
+    out_1 = run_model(256, 128, 2, 300.0, 10, config=cfg)
+    for name, a, b in zip("puvtq", out_1[:5], out_m[:5]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-9, atol=1e-9,
+                                   err_msg=f"field {name}")
+    np.testing.assert_allclose(np.asarray(out_m[5].gt),
+                               np.asarray(out_1[5].gt), rtol=1e-9)
