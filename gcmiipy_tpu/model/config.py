@@ -117,10 +117,13 @@ class ModelConfig:
     #             as 'mega')
     #   'stream' — the streaming multi-step kernel: ``stream_steps``
     #             whole Matsuno steps per launch with manually
-    #             double-buffered DMA (fastest; pure-dynamics runs only —
-    #             per-step extras like physics/drag/Shapiro cannot run
-    #             inside the launch, and guard/stats/checkpoint cadence
-    #             coarsens to stream_steps)
+    #             double-buffered DMA (fastest).  Physics/drag/Shapiro
+    #             run BETWEEN launches at their cadences (physics_every /
+    #             shapiro_every must be even; the launch size clamps to a
+    #             common divisor); guard/stats granularity coarsens to the
+    #             launch size, with the exact blown step recovered by a
+    #             per-step replay.  Under a mesh this is the streamed
+    #             lat-ring (one ppermute round per launch).
     backend: str = "xla"
     # Pair-interleaved stage pipeline inside the 'stream' kernel (filter
     # MXU co-scheduled with the other block's VPU stages; bitwise-equal

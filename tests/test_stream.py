@@ -361,3 +361,23 @@ def test_stream_factor_streaming_matches_resident():
         np.testing.assert_allclose(np.asarray(y), np.asarray(x),
                                    rtol=1e-12, atol=1e-12,
                                    err_msg=f"field {name}")
+
+
+def test_stream_envelope_fallback():
+    """Grids outside the measured streaming envelope (tall W=4096) fall
+    back to 'mega4' (and onward to v1/xla) with an explicit warning."""
+    from gcmiipy_tpu.model.config import ModelConfig
+    from gcmiipy_tpu.model.driver import make_run_fn
+    from gcmiipy_tpu.grid import geometry as geo
+    from gcmiipy_tpu.ops.pallas_stream import stream_grid_supported
+
+    assert stream_grid_supported(geo.gen_geometry(512, 2048, 3))
+    assert stream_grid_supported(geo.gen_geometry(64, 4096, 3))
+    assert not stream_grid_supported(geo.gen_geometry(512, 4096, 3))
+    assert not stream_grid_supported(geo.gen_geometry(12, 128, 3))
+
+    cfg = ModelConfig(backend="stream", dtype="float64", stats=False,
+                      dt=300.0)
+    geom = geo.gen_geometry(24, 36, 3).astype(np.float64)  # 36 % 128 != 0
+    with pytest.warns(UserWarning, match="streaming envelope"):
+        make_run_fn(geom, cfg, 4)
