@@ -41,12 +41,19 @@ def solar_zenith_angle_np(latitude, hour_angle, declination):
             + np.cos(latitude) * np.cos(declination) * np.cos(hour_angle))
 
 
-def zenith_angle_np(longs, lats, time, geom):
+def zenith_angle_np(longs, lats, time, geom, declination=0.0):
     hour_angle = time / (-24.0 * 3600.0) * 2 * math.pi
     point_angle = np.asarray(longs)[None, :] + hour_angle
     sza = solar_zenith_angle_np(np.asarray(lats).reshape(-1, 1),
-                                point_angle, 0.0)
+                                point_angle, declination)
     return np.maximum(sza, 0.0)
+
+
+def solar_declination_np(utc, obliquity_deg=23.44, year_days=365.0):
+    """Twin of radiation.solar_declination (the DAILY analog)."""
+    d = np.asarray(utc, np.float64) / 86400.0
+    return (-math.radians(obliquity_deg)
+            * np.cos(2 * math.pi * (d + 10.0) / year_days))
 
 
 def compute_absorbance_np(gasses, rho, path_length):
@@ -63,7 +70,7 @@ def hansen_cloud_thickness_np(tp, tt):
 
 
 def basic_grey_radiation_np(p, tp, tt, gt, t_lw, t_sw, albedo, utc, geom,
-                            return_fluxes=False):
+                            return_fluxes=False, declination=0.0):
     """Reference ``grey_solar.py:358-563``.  Returns (dTdt, dt_ground)
     [, fluxes dict when ``return_fluxes``]."""
     p = np.asarray(p, np.float64)
@@ -81,7 +88,8 @@ def basic_grey_radiation_np(p, tp, tt, gt, t_lw, t_sw, albedo, utc, geom,
     clw_b_div = cum_lw_bottom / lw_t
     B = np.sum(emission * clw_b_div, axis=0)
 
-    sza = zenith_angle_np(geom.long, geom.lat, utc, geom)
+    sza = zenith_angle_np(geom.long, geom.lat, utc, geom,
+                          declination=declination)
     Sc = constants.solar_constant * sza
     S = (1 - albedo) * Sc * cum_sw_top[0]
     U_s = constants.sb_constant * gt ** 4
@@ -256,17 +264,20 @@ def grey_radiation_np(p, q, tt, c, gt, utc, dt, geom, return_fluxes=False):
     return dt_ground, dt_air, thermal_up[-1], fluxes
 
 
-def solar_timestep_np(t, p, gt, dt, utc, t_lw, t_sw, albedo, geom):
+def solar_timestep_np(t, p, gt, dt, utc, t_lw, t_sw, albedo, geom,
+                      declination=0.0):
     """The driver's radiative heating step (reference
     ``no_limits_2_5d.py:66-75``) on NumPy: potential -> true temperature,
     ``basic_grey_radiation``, Euler update, back to potential temperature.
+    ``declination`` follows the driver's seasonal (DAILY) mode.
     Returns (t_next, gt_next)."""
     from gcmiipy_tpu.physics import thermo
     sig = np.asarray(geom.sig, np.float64)
     tp = np.asarray(p, np.float64) * sig + float(geom.ptop)
     tt = np.asarray(thermo.to_true_temp(np.asarray(t, np.float64), tp))
     dTdt, dt_ground = basic_grey_radiation_np(
-        p, tp, tt, np.asarray(gt, np.float64), t_lw, t_sw, albedo, utc, geom)
+        p, tp, tt, np.asarray(gt, np.float64), t_lw, t_sw, albedo, utc,
+        geom, declination=declination)
     gt_n = np.asarray(gt, np.float64) + dt_ground * dt
     tt_n = tt + dTdt * dt
     t_n = np.asarray(thermo.to_potential_temp(tt_n, tp))
@@ -336,7 +347,8 @@ def four_band_radiation_np(p, tp, tt, q, gt, t_sw, albedo, utc, geom,
 
     cum_sw_top = np.cumprod(np.broadcast_to(sw_t, tt.shape)[::-1],
                             axis=0)[::-1]
-    sza = zenith_angle_np(geom.long, geom.lat, utc, geom)
+    sza = zenith_angle_np(geom.long, geom.lat, utc, geom,
+                          declination=declination)
     Sc = constants.solar_constant * sza
     S = (1 - albedo) * Sc * cum_sw_top[0]
     U_s = constants.sb_constant * gt ** 4

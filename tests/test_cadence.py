@@ -131,3 +131,50 @@ def test_seasonal_run_stable():
     # temperature fields must differ measurably under the tilted sun
     dt_ = np.max(np.abs(np.asarray(out_se[3]) - np.asarray(out_eq[3])))
     assert dt_ > 1e-3
+
+
+def test_seasonal_driver_matches_oracle():
+    """Three seasonal physics-on driver steps == the NumPy oracle with the
+    clock-driven declination (DAILY end-to-end parity, f64)."""
+    from gcmiipy_tpu.oracle import numpy_radiation as rad_np
+    from gcmiipy_tpu.oracle import numpy_ref
+
+    geom = geometry.gen_geometry(8, 12, 3,
+                                 sig_func=geometry.manabe_sig
+                                 ).astype(np.float64)
+    # start mid-year so the declination is far from the equinox value
+    utc0 = 170.0 * 86400.0
+    cfg = ModelConfig(dt=900.0, physics=True, seasonal=True,
+                      dtype="float64", stats=False)
+    state = drv.gen_model_state(geom, cfg)
+    state = state._replace(utc=jnp.asarray(utc0, jnp.float64))
+    filter_fn = drv.make_filter_fn(cfg, geom)
+    for _ in range(3):
+        state = drv.full_timestep(state, geom, cfg, filter_fn)
+
+    prog0 = drv.gen_model_state(geom, cfg).prog
+    o = tuple(np.asarray(x) for x in prog0)
+    gt = np.asarray(drv.gen_model_state(geom, cfg).ground.gt)
+    for i in range(3):
+        utc = utc0 + i * 900.0
+        o = numpy_ref.matsuno_timestep_np(*o, 900.0, geom)
+        p_i, u_i, v_i, t_i, q_i = o
+        decl = rad_np.solar_declination_np(utc)
+        t_i, gt = rad_np.solar_timestep_np(
+            t_i, p_i, gt, 900.0, utc, cfg.t_lw, cfg.t_sw, cfg.albedo,
+            geom, declination=decl)
+        o = (p_i, u_i, v_i, t_i, q_i)
+
+    for name, a, b in zip("puvtq", o, state.prog):
+        np.testing.assert_allclose(np.asarray(b), a, rtol=1e-9, atol=1e-9,
+                                   err_msg=f"field {name}")
+    np.testing.assert_allclose(np.asarray(state.ground.gt), gt, rtol=1e-9)
+    # and the declination genuinely moved the sun: an equinox oracle
+    # composition must NOT match
+    t_eq, _ = rad_np.solar_timestep_np(
+        o[3], o[0], gt, 900.0, utc0, cfg.t_lw, cfg.t_sw, cfg.albedo,
+        geom, declination=0.0)
+    t_se, _ = rad_np.solar_timestep_np(
+        o[3], o[0], gt, 900.0, utc0, cfg.t_lw, cfg.t_sw, cfg.albedo,
+        geom, declination=rad_np.solar_declination_np(utc0))
+    assert np.max(np.abs(t_eq - t_se)) > 1e-8

@@ -159,7 +159,8 @@ def test_driver_stream_physics_parity():
     from gcmiipy_tpu.model.driver import run_model
 
     kw = dict(dtype="float64", stats=True, physics=True, physics_every=2,
-              drag_tau=86400.0, shapiro_every=4, shapiro_fields="pt")
+              drag_tau=86400.0, shapiro_every=4, shapiro_fields="pt",
+              evaporation=True, gw0=0.05, convection=True, seasonal=True)
     cfg_s = ModelConfig(backend="stream", stream_steps=4, **kw)
     cfg_m = ModelConfig(backend="mega4", **kw)
     out_s = run_model(16, 128, 3, 300.0, 6, config=cfg_s)
