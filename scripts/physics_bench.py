@@ -69,6 +69,7 @@ def main():
         ts = []
         for _ in range(3):
             state = gen_model_state(geom, cfg)
+            jax.block_until_ready(state)   # keep IC setup out of the timing
             t0 = time.perf_counter()
             out = run(state)
             jax.block_until_ready(out)
