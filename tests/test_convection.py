@@ -63,3 +63,27 @@ def test_longrun_physics_with_convection_and_drag_is_stable():
     assert bool(info.ok), f"blew up at step {int(info.blown_step)}"
     p = np.asarray(out_state.prog.p)
     assert np.isfinite(p).all() and 9e4 < p.mean() < 1.1e5
+
+
+def test_adaptive_equals_unrolled():
+    """The early-exit while_loop form reaches the fixed-sweep form's
+    fixed point (identical up to XLA FMA-contraction rounding: the while
+    body and the unrolled graph contract multiply-adds differently)."""
+    import numpy as np
+
+    from gcmiipy_tpu.physics.convection import convective_adjustment
+
+    rng = np.random.default_rng(3)
+    L, H, W = 9, 8, 16
+    tt = 250.0 + 40.0 * rng.random((L, H, W))
+    sig = np.linspace(0.95, 0.1, L).reshape(L, 1, 1)
+    tp = 1e5 * sig
+    dp = 1e5 * np.full((L, 1, 1), 1.0 / L)
+    a = convective_adjustment(jnp.asarray(tt), jnp.asarray(tp),
+                              jnp.asarray(dp), adaptive=True)
+    b = convective_adjustment(jnp.asarray(tt), jnp.asarray(tp),
+                              jnp.asarray(dp), adaptive=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=0, atol=1e-10)
+    # and it genuinely adjusted something on this random unstable field
+    assert np.max(np.abs(np.asarray(a) - tt)) > 1.0
