@@ -315,7 +315,7 @@ def four_band_fractions_np(tt, exact=False):
 
 
 def four_band_radiation_np(p, tp, tt, q, gt, t_sw, albedo, utc, geom,
-                           return_fluxes=False):
+                           return_fluxes=False, declination=0.0):
     """Float64 NumPy twin of radiation.four_band_radiation (explicit
     per-band k-loops)."""
     from gcmiipy_tpu.physics import radiation as rad
