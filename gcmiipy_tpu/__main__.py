@@ -27,6 +27,8 @@ import numpy as np
 
 
 def _add_run_args(ap):
+    from gcmiipy_tpu.model.config import ModelConfig
+
     ap.add_argument("--height", type=int, default=24)
     ap.add_argument("--width", type=int, default=36)
     ap.add_argument("--layers", type=int, default=9)
@@ -97,11 +99,12 @@ def _add_run_args(ap):
     ap.add_argument("--filter-precision", default="high",
                     choices=["highest", "high", "fwd_high", "default"],
                     help="mega backends' in-kernel DFT matmul precision")
-    ap.add_argument("--filter-split-tau", type=float, default=0.0,
+    ap.add_argument("--filter-split-tau", type=float,
+                    default=ModelConfig().filter_split_tau,
                     help="precision-selective banding threshold: chunks "
                          "whose damping correction stays below it run "
                          "1-pass bf16 instead of the split passes (0 = "
-                         "all split)")
+                         "all split; default matches ModelConfig)")
     ap.add_argument("--guard", action="store_true",
                     help="scan-carried NaN/pressure blow-up guard")
     ap.add_argument("--guard-p-max", type=float, default=115000.0,

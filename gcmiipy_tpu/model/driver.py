@@ -113,6 +113,10 @@ def validate_config(config):
     if config.physics_every < 1:
         raise ValueError(
             f"physics_every must be >= 1, got {config.physics_every}")
+    if config.radiation not in ("grey", "4band"):
+        raise ValueError(
+            f"radiation must be 'grey' or '4band', got "
+            f"{config.radiation!r} (a typo would silently run grey)")
 
 
 def make_dynamics_step(geom, config, filter_fn, mesh=None,
@@ -202,17 +206,25 @@ def physics_extras(prog: PrognosticVars, g: GroundVars, utc, geom, config,
     return PrognosticVars(p, u, v, t, q), g
 
 
-def apply_cadenced_extras(prog, g, utc, step_next, geom, config):
-    """Run :func:`physics_extras` iff ``step_next`` (the just-completed
-    step count) hits the ``physics_every`` cadence.  ``utc`` is the clock
-    at the start of the completed step."""
+def apply_cadenced_extras(prog, g, utc, step_next, geom, config,
+                          granularity=1):
+    """Run :func:`physics_extras` iff a ``physics_every`` cadence point
+    falls inside the just-completed advance, i.e. in the half-open step
+    window ``(step_next - granularity, step_next]``.  ``utc`` is the clock
+    at the start of the completed step.
+
+    ``granularity`` is 1 on the per-step paths (the check reduces to
+    ``step_next % physics_every == 0``) and the chunk length on the
+    stream paths — the windowed form keeps extras firing even when a
+    restored step counter is not chunk-aligned (round-4 advisor: the
+    boundary-equality check silently dropped ALL extras then)."""
     if not (config.drag_tau > 0 or config.physics):
         return prog, g
     pe = config.physics_every
     dt_eff = pe * config.dt
-    if pe == 1:
+    if pe <= granularity:
         return physics_extras(prog, g, utc, geom, config, dt_eff)
-    due = step_next % pe == 0
+    due = step_next % pe < granularity
     return jax.lax.cond(
         due,
         lambda a: physics_extras(a[0], a[1], utc, geom, config, dt_eff),
@@ -351,12 +363,15 @@ def _cadence_clamp(config, K, k_cap):
     return max(cands) if cands else min(2, k_cap)
 
 
-def _chunk_extras_state(state: ModelState, geom, config) -> ModelState:
+def _chunk_extras_state(state: ModelState, geom, config,
+                        granularity=1) -> ModelState:
     """Cadenced extras at a stream-chunk boundary on a plain ModelState
     (utc/step already advanced past the chunk) — the unpacked twin of the
     single-device stream path's packed ``chunk_extras``; used by the
     sharded stream-ring run path (fields stay sharded, the extras are
-    plain jnp ops GSPMD distributes)."""
+    plain jnp ops GSPMD distributes).  ``granularity`` = the chunk length
+    just advanced (cadence checks are windowed, see
+    :func:`apply_cadenced_extras`)."""
     has_extras = config.physics or config.drag_tau > 0
     has_shapiro = config.shapiro_every > 0
     if not (has_extras or has_shapiro):
@@ -366,7 +381,7 @@ def _chunk_extras_state(state: ModelState, geom, config) -> ModelState:
     if has_shapiro:
         from gcmiipy_tpu.ops import shapiro
 
-        due_s = step % config.shapiro_every == 0
+        due_s = step % config.shapiro_every < granularity
 
         def smooth(ops):
             return shapiro.filter_prognostics(
@@ -378,11 +393,66 @@ def _chunk_extras_state(state: ModelState, geom, config) -> ModelState:
     prog = PrognosticVars(p, u, v, t, q)
     if has_extras:
         prog, g = apply_cadenced_extras(prog, g, utc - config.dt, step,
-                                        geom, config)
+                                        geom, config,
+                                        granularity=granularity)
     return ModelState(prog, g, utc, step)
 
 
-def _make_stream_ring_run_fn(geom, config, timesteps, mesh):
+def _cat_device_stats(a, b):
+    """Concatenate two stacked StepStats pytrees along the step axis
+    (either may be None)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return jax.tree.map(lambda x, y: jnp.concatenate([x, y]), a, b)
+
+
+def _with_alignment_head(geom, config, timesteps, K, make_rest,
+                         start_step, mesh=None):
+    """Wrap a stream-family run in a per-step alignment head.
+
+    Stream chunks apply cadenced extras at chunk boundaries; exact
+    per-step cadence semantics need the boundaries to land on multiples
+    of the launch size K.  When the (static) ``start_step`` is not
+    K-aligned, run ``head = (-start_step) % K`` steps on the per-step
+    mega4 path first, then the chunked rest (which then starts aligned).
+    Returns None when no head is needed (caller proceeds chunked).
+    """
+    cadenced = (config.physics or config.drag_tau > 0
+                or config.shapiro_every > 0)
+    head = (-start_step) % K if cadenced else 0
+    if not head:
+        return None
+    head = min(head, timesteps)
+    import dataclasses as _dc
+    head_cfg = _dc.replace(config, backend="mega4")
+    head_run = make_run_fn(geom, head_cfg, head, mesh=mesh)
+    rest_run = (make_rest(timesteps - head) if timesteps > head else None)
+
+    def run(state):
+        out = head_run(state)
+        if rest_run is None:
+            return out
+        if config.guard:
+            state, stats_h, gi = out
+            if not bool(jax.device_get(gi.ok)):
+                return out
+            state, stats_r, gi = rest_run(state)
+            blown = jnp.where(gi.blown_step >= 0,
+                              gi.blown_step + head, gi.blown_step)
+            return (state, _cat_device_stats(stats_h, stats_r),
+                    GuardInfo(gi.ok, blown))
+        state, stats_h = out
+        state, stats_r = rest_run(state)
+        return state, _cat_device_stats(stats_h, stats_r)
+
+    run.chunk_steps = K
+    run.head_steps = head
+    return run
+
+
+def _make_stream_ring_run_fn(geom, config, timesteps, mesh, start_step=0):
     """Sharded run-function for backend 'stream' under a lat-ring mesh:
     the scan advances K steps per iteration through
     :func:`gcmiipy_tpu.parallel.shard_step.make_shard_stream_ring` (one
@@ -411,6 +481,12 @@ def _make_stream_ring_run_fn(geom, config, timesteps, mesh):
 
     config, K = _resolve_stream_cadence(config, timesteps)
     K = _cadence_clamp(config, K, k_cap)
+    headed = _with_alignment_head(
+        geom, config, timesteps, K,
+        lambda n: _make_stream_ring_run_fn(geom, config, n, mesh),
+        start_step, mesh=mesh)
+    if headed is not None:
+        return headed
     interpret = jax.default_backend() != "tpu"
     n_chunks, rem = divmod(timesteps, K)
 
@@ -434,7 +510,7 @@ def _make_stream_ring_run_fn(geom, config, timesteps, mesh):
         prog = PrognosticVars(*adv_k(*state.prog))
         state = ModelState(prog, state.ground, state.utc + k * config.dt,
                            state.step + k)
-        return _chunk_extras_state(state, geom, config)
+        return _chunk_extras_state(state, geom, config, granularity=k)
 
     def tail(state):
         if rem_even:
@@ -513,7 +589,7 @@ def _make_stream_ring_run_fn(geom, config, timesteps, mesh):
     return run
 
 
-def _make_stream_run_fn(geom, config, timesteps):
+def _make_stream_run_fn(geom, config, timesteps, start_step=0):
     """Run-function builder for the 'stream' backend: the scan advances
     K = ``config.stream_steps`` Matsuno steps per iteration through the
     streaming multi-step kernel (:mod:`gcmiipy_tpu.ops.pallas_stream`),
@@ -549,6 +625,11 @@ def _make_stream_run_fn(geom, config, timesteps):
                            timesteps)
 
     config, K = _resolve_stream_cadence(config, timesteps)
+    headed = _with_alignment_head(
+        geom, config, timesteps, K,
+        lambda n: _make_stream_run_fn(geom, config, n), start_step)
+    if headed is not None:
+        return headed
     interpret = jax.default_backend() != "tpu"
     dtype = jnp.dtype(config.dtype)
     n_chunks, rem = divmod(timesteps, K)
@@ -577,11 +658,13 @@ def _make_stream_run_fn(geom, config, timesteps):
         return ModelState(PrognosticVars(*pallas_stream.unpack_state(
             S[0], L)), g, utc, step)
 
-    def chunk_extras(carry):
+    def chunk_extras(carry, k):
         """Between-launch cadenced extras on the packed buffer.  The whole
         unpack -> extras -> repack block sits under one lax.cond keyed on
-        'any cadence hits this chunk end', so off-cadence chunks pay
-        nothing."""
+        'any cadence point falls in the just-completed k-step chunk', so
+        off-cadence chunks pay nothing.  Windowed checks (< k, not == 0)
+        keep extras firing for non-chunk-aligned restored step counters
+        (round-4 advisor)."""
         if not (has_extras or has_shapiro):
             return carry
         S, g, utc, step = carry
@@ -601,7 +684,7 @@ def _make_stream_run_fn(geom, config, timesteps):
             if has_shapiro:
                 from gcmiipy_tpu.ops import shapiro
 
-                due_s = step % config.shapiro_every == 0
+                due_s = step % config.shapiro_every < k
 
                 def smooth(ops):
                     return shapiro.filter_prognostics(
@@ -616,7 +699,8 @@ def _make_stream_run_fn(geom, config, timesteps):
                 # as the per-step path passes it (full_timestep runs
                 # extras before advancing utc)
                 prog, g = apply_cadenced_extras(
-                    prog, g, utc - config.dt, step, geom, config)
+                    prog, g, utc - config.dt, step, geom, config,
+                    granularity=k)
             # in-place dynamic-update-slices on the donated carry S (no
             # S[0] intermediate: a sliced copy chain re-materializes the
             # whole buffer per update — measured +1.1 ms/application)
@@ -634,9 +718,9 @@ def _make_stream_run_fn(geom, config, timesteps):
 
         dues = []
         if has_shapiro:
-            dues.append(step % config.shapiro_every == 0)
+            dues.append(step % config.shapiro_every < k)
         if has_extras:
-            dues.append(step % config.physics_every == 0)
+            dues.append(step % config.physics_every < k)
         due_any = dues[0]
         for d in dues[1:]:
             due_any = due_any | d
@@ -646,7 +730,7 @@ def _make_stream_run_fn(geom, config, timesteps):
     def advance_chunk(carry, multi_k, k):
         S, g, utc, step = carry
         S = multi_k(S)
-        return chunk_extras((S, g, utc + k * config.dt, step + k))
+        return chunk_extras((S, g, utc + k * config.dt, step + k), k)
 
     def advance_tail_odd(carry):
         # single odd step on the per-step path; returns a packed carry
@@ -744,8 +828,18 @@ def _make_stream_run_fn(geom, config, timesteps):
     return run
 
 
-def make_run_fn(geom, config, timesteps, mesh=None):
+def make_run_fn(geom, config, timesteps, mesh=None, start_step=0):
     """Build a jitted scan over ``timesteps`` Matsuno steps with donated state.
+
+    ``start_step``: the (static) global step counter the state will carry
+    on entry — 0 for fresh runs.  Pass the restored step when resuming a
+    'stream' run from a checkpoint: stream backends apply cadenced extras
+    at chunk boundaries, and a non-K-aligned start runs a short per-step
+    alignment head first so cadence points keep landing exactly (the
+    chunk-boundary checks are additionally windowed, so even an unaligned
+    entry without ``start_step`` degrades to boundary-delayed extras
+    rather than silently dropping them).  Ignored by per-step backends —
+    their cadences key off the state's own counter at every step.
 
     Returns ``run(state) -> (state, stats)``; with ``config.guard`` on,
     ``run(state) -> (state, stats, GuardInfo)`` — the scan stops advancing
@@ -767,9 +861,11 @@ def make_run_fn(geom, config, timesteps, mesh=None):
     """
     validate_config(config)
     if config.backend == "stream" and mesh is None:
-        return _make_stream_run_fn(geom, config, timesteps)
+        return _make_stream_run_fn(geom, config, timesteps,
+                                   start_step=start_step)
     if config.backend == "stream" and mesh is not None:
-        return _make_stream_ring_run_fn(geom, config, timesteps, mesh)
+        return _make_stream_ring_run_fn(geom, config, timesteps, mesh,
+                                        start_step=start_step)
     if mesh is not None and config.polar_filter == "fft" \
             and config.backend == "xla":
         # under a sharded mesh the zonal rFFT is the one op GSPMD handles
@@ -817,6 +913,25 @@ def make_run_fn(geom, config, timesteps, mesh=None):
             return jax.lax.scan(body, state, None, length=timesteps)
 
     return run
+
+
+def _blown_chunk_len(blown, n, K, head=0):
+    """Length of the stream chunk that starts at step-offset ``blown``
+    inside an ``n``-step run with launch size ``K`` and ``head`` per-step
+    alignment steps: K for the main chunks, the (shorter) even remainder
+    for the remainder chunk, 1 for the odd tail and the head steps
+    (round-4 advisor: replaying K steps past a shorter chunk could report
+    an 'exact' step beyond the steps the run actually took)."""
+    if blown < head:
+        return 1
+    b, n2 = blown - head, n - head
+    n_chunks, rem = divmod(n2, K)
+    rem_even = rem - rem % 2
+    if b < n_chunks * K:
+        return K
+    if rem_even and b == n_chunks * K:
+        return rem_even
+    return 1
 
 
 def localize_blown_step(state, geom, config, max_steps):
@@ -927,7 +1042,8 @@ def run_model(height, width, layers, dt, timesteps, callback=None,
         from gcmiipy_tpu.parallel import mesh as mesh_mod
         state = jax.device_put(state, mesh_mod.ring_state_shardings(mesh))
 
-    def warn_blown(guard_info, base_step=0, state=None, chunk_steps=None):
+    def warn_blown(guard_info, base_step=0, state=None, chunk_steps=None,
+                   n_steps=None, head=0):
         if guard_info is not None and not bool(guard_info.ok):
             import warnings
             causes = ("NaN or surface pressure out of "
@@ -936,19 +1052,27 @@ def run_model(height, width, layers, dt, timesteps, callback=None,
                 causes += (" or potential temperature out of "
                            f"[{config.guard_t_min}, "
                            f"{config.guard_t_max or float('inf')}] K")
-            step = base_step + int(guard_info.blown_step)
+            blown_off = int(guard_info.blown_step)
+            step = base_step + blown_off
             detail = ""
-            if chunk_steps and chunk_steps > 1 and state is not None:
+            replay = chunk_steps or 1
+            if replay > 1 and n_steps is not None:
+                # the blown chunk may be the shorter remainder or the
+                # per-step head/tail — replay only as many steps as that
+                # chunk actually advanced
+                replay = _blown_chunk_len(blown_off, n_steps, chunk_steps,
+                                          head)
+            if replay > 1 and state is not None:
                 # stream guard granularity is the launch size; replay the
                 # blown chunk per-step to name the exact step (reference
                 # port.py:295-310: the Fortran scream names the step)
-                off = localize_blown_step(state, geom, config, chunk_steps)
+                off = localize_blown_step(state, geom, config, replay)
                 if off is not None:
                     step += off
                     detail = (" (exact; localized by a per-step replay of "
-                              f"the blown {chunk_steps}-step chunk)")
+                              f"the blown {replay}-step chunk)")
                 else:
-                    detail = (f" (chunk granularity {chunk_steps}; the "
+                    detail = (f" (chunk granularity {replay}; the "
                               "per-step replay did not reproduce the blow)")
             warnings.warn(
                 f"run blew up ({causes}) at step {step}{detail}; state "
@@ -962,12 +1086,30 @@ def run_model(height, width, layers, dt, timesteps, callback=None,
         from gcmiipy_tpu.model.checkpoint import save_checkpoint
         every = config.checkpoint_every
         run_chunk = make_run_fn(geom, config, every, mesh=mesh)
+        K = getattr(run_chunk, "chunk_steps", 1)
+        cadenced = (config.physics or config.drag_tau > 0
+                    or config.shapiro_every > 0)
+        if K > 1 and cadenced and every % K:
+            # stream backends apply cadenced extras at K-step chunk
+            # boundaries; a checkpoint_every that is not a multiple of K
+            # would leave every chunk after the first starting unaligned
+            # (round-4 advisor).  Round to a multiple of K so chunk starts
+            # stay aligned and the compiled chunk run is reusable.
+            import warnings
+            new_every = max(K, every - every % K)
+            warnings.warn(
+                f"checkpoint_every={every} is not a multiple of the "
+                f"stream launch size K={K}; rounding to {new_every} so "
+                "cadenced extras stay chunk-aligned", stacklevel=2)
+            every = new_every
+            run_chunk = make_run_fn(geom, config, every, mesh=mesh)
         stats_chunks = []
         done = 0
         while done < timesteps:
             n = min(every, timesteps - done)
             run_n = (run_chunk if n == every
-                     else make_run_fn(geom, config, n, mesh=mesh))
+                     else make_run_fn(geom, config, n, mesh=mesh,
+                                      start_step=done))
             out = run_n(state)
             state, stats_c = out[0], out[1]
             stats_chunks.append(jax.device_get(stats_c)
@@ -982,7 +1124,9 @@ def run_model(height, width, layers, dt, timesteps, callback=None,
             if blown and warn_blown(out[2], done - n, state=state,
                                     chunk_steps=getattr(run_n,
                                                         "chunk_steps",
-                                                        None)):
+                                                        None),
+                                    n_steps=n,
+                                    head=getattr(run_n, "head_steps", 0)):
                 break
         stats = _stack_stats(stats_chunks)
         _log_metrics(config, stats, done)
@@ -995,7 +1139,9 @@ def run_model(height, width, layers, dt, timesteps, callback=None,
         state, stats = out[0], out[1]
         if config.guard:
             warn_blown(out[2], state=state,
-                       chunk_steps=getattr(run, "chunk_steps", None))
+                       chunk_steps=getattr(run, "chunk_steps", None),
+                       n_steps=timesteps,
+                       head=getattr(run, "head_steps", 0))
         _log_metrics(config, stats, timesteps)
     else:
         filter_fn = make_filter_fn(config, geom)

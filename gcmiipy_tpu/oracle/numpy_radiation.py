@@ -309,7 +309,8 @@ def four_band_fractions_np(tt, exact=False):
                  for e in FOUR_BAND_EDGES_CM[1:]]
         f = [below[0], below[1] - below[0], below[2] - below[1]]
     else:
-        s = (tt - 250.0) / 100.0
+        # same [150, 350] K fit-range clamp as the jax path
+        s = np.clip((tt - 250.0) / 100.0, -1.0, 1.0)
         f = [np.polyval(c, s) for c in _BAND_POLYS]
     return np.stack(f + [1.0 - (f[0] + f[1] + f[2])])
 

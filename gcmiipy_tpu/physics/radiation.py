@@ -96,8 +96,13 @@ _BAND_POLYS = _fit_band_fraction_polys()
 def four_band_fractions(tt):
     """Planck emission fraction per LW band at temperature ``tt`` [K]:
     stacked (4, ...) = (H2O-rotation, CO2, window, H2O-vibration);
-    sums to 1 exactly (the open band is the complement)."""
-    s = (tt - 250.0) / 100.0
+    sums to 1 exactly (the open band is the complement).
+
+    The degree-6 fits are valid on [150, 350] K; the fit variable is
+    clamped to that range so out-of-range ground temperatures (hot starts,
+    blown columns) cannot extrapolate into negative band fractions
+    (round-4 advisor)."""
+    s = jnp.clip((tt - 250.0) / 100.0, -1.0, 1.0)
     fs = [jnp.polyval(jnp.asarray(c, tt.dtype), s) for c in _BAND_POLYS]
     f4 = 1.0 - (fs[0] + fs[1] + fs[2])
     return jnp.stack([fs[0], fs[1], fs[2], f4])

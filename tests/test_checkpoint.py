@@ -203,3 +203,49 @@ def test_stream_resume_preserves_cadence(tmp_path):
                                    err_msg=f"field {name}")
     np.testing.assert_allclose(np.asarray(resumed.ground.gt),
                                np.asarray(full.ground.gt), rtol=1e-12)
+
+
+def test_stream_misaligned_resume_keeps_cadence(tmp_path):
+    """Resuming a stream run from a non-chunk-aligned step (round-4
+    advisor: e.g. a 6-step run leaves step 6 with K=4) must keep applying
+    the cadenced extras.  With ``start_step`` passed, a per-step alignment
+    head makes the cadence exact (== a straight 12-step run); without it,
+    the windowed chunk-boundary checks still fire extras (delayed to the
+    next boundary) instead of silently dropping them forever."""
+    from gcmiipy_tpu.grid import geometry as geo
+
+    cfg = ModelConfig(backend="stream", stream_steps=4, dtype="float64",
+                      physics=True, physics_every=4, drag_tau=86400.0,
+                      stats=False, dt=300.0)
+    geom = geo.gen_geometry(16, 128, 3,
+                            sig_func=geo.manabe_sig).astype(np.float64)
+
+    full12, _ = driver.make_run_fn(geom, cfg, 12)(
+        driver.gen_model_state(geom, cfg))
+    part6, _ = driver.make_run_fn(geom, cfg, 6)(
+        driver.gen_model_state(geom, cfg))
+    assert int(part6.step) == 6  # 6 % 4 != 0: chunk-misaligned
+
+    checkpoint.save_checkpoint(str(tmp_path), part6, 6, use_orbax=False)
+    restored, step = checkpoint.restore_checkpoint(str(tmp_path))
+    assert step == 6
+
+    # exact resume: start_step triggers the 2-step per-step head, so the
+    # remaining cadence points (steps 8 and 12) land exactly
+    run_aligned = driver.make_run_fn(geom, cfg, 6, start_step=6)
+    assert getattr(run_aligned, "head_steps", 0) == 2
+    resumed, _ = run_aligned(restored)
+    assert int(resumed.step) == 12
+    for name, a, b in zip("puvtq", full12.prog, resumed.prog):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-9, atol=1e-9,
+                                   err_msg=f"field {name}")
+    np.testing.assert_allclose(np.asarray(resumed.ground.gt),
+                               np.asarray(full12.ground.gt), rtol=1e-9)
+
+    # windowed fallback: even without start_step the extras keep firing
+    # (ground temperature must keep moving; pre-fix it froze forever)
+    restored2, _ = checkpoint.restore_checkpoint(str(tmp_path))
+    unaligned, _ = driver.make_run_fn(geom, cfg, 6)(restored2)
+    assert not np.allclose(np.asarray(unaligned.ground.gt),
+                           np.asarray(part6.ground.gt), rtol=0, atol=1e-12)
