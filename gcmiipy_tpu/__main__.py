@@ -71,9 +71,32 @@ def _add_run_args(ap):
     ap.add_argument("--shapiro-fields", default="p",
                     choices=["p", "t", "pt"],
                     help="GCM-II MFILTR selection: p, t, or both")
-    ap.add_argument("--shapiro-slp", action="store_true",
+    ap.add_argument("--shapiro-slp", action="store_true", default=None,
                     help="reduce p to sea level before the Shapiro FILTER "
-                         "(GCM-II MFILTR=1 semantics over topography)")
+                         "(GCM-II MFILTR=1 semantics over topography; "
+                         "default: auto — on over terrain, off flat)")
+    ap.add_argument("--topography", default="flat",
+                    choices=["flat", "hansen"],
+                    help="surface terrain: Hansen 1983 topography "
+                         "(resampled to the grid, barometric p init) or "
+                         "the reference's flat surface")
+    ap.add_argument("--sea-level-temp", type=float, default=288.0,
+                    help="sea-level temperature [K] of the barometric "
+                         "terrain-balanced initial pressure")
+    ap.add_argument("--land-cover", default="none",
+                    choices=["none", "hansen"],
+                    help="couple the Hansen land-fraction map into "
+                         "surface albedo and evaporation availability")
+    ap.add_argument("--albedo-land", type=float, default=0.35,
+                    help="land albedo for --land-cover hansen (--albedo "
+                         "is the ocean/base value)")
+    ap.add_argument("--precipitation", action="store_true",
+                    help="large-scale condensation: rain supersaturation "
+                         "into the ground-water bucket with latent "
+                         "heating (GCM-II CONDSE analog; needs --physics)")
+    ap.add_argument("--rh-crit", type=float, default=1.0,
+                    help="relative-humidity threshold of the condensation "
+                         "scheme")
     ap.add_argument("--t-lw", type=float, default=0.1,
                     help="grey longwave layer transmittance")
     ap.add_argument("--t-sw", type=float, default=0.9,
@@ -121,10 +144,46 @@ def _add_run_args(ap):
                     help="write final-state field PNGs + energy trace here")
     ap.add_argument("--no-stats", action="store_true",
                     help="skip per-step diagnostics (fastest)")
+    ap.add_argument("--mesh-shape", default=None, metavar="NY[,NX]",
+                    help="decompose the run over a device mesh: 'NY' = "
+                         "lat-ring over NY devices, 'NY,NX' = 2D lat x "
+                         "lon mesh (the fused2d path)")
+    ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="jax.distributed coordinator address for "
+                         "multi-host runs (with --num-processes and "
+                         "--process-id; env JAX_COORDINATOR_ADDRESS / "
+                         "JAX_NUM_PROCESSES / JAX_PROCESS_ID also work)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
 
 
 def cmd_run(args):
     import warnings
+
+    # distributed init must precede any backend use
+    from gcmiipy_tpu.parallel import distributed
+    distributed.initialize(coordinator_address=args.coordinator,
+                           num_processes=args.num_processes,
+                           process_id=args.process_id)
+
+    mesh = None
+    if args.mesh_shape:
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh
+        dims = [int(d) for d in args.mesh_shape.split(",")]
+        n = 1
+        for d in dims:
+            n *= d
+        if n > len(jax.devices()):
+            print(f"error: --mesh-shape {args.mesh_shape} needs {n} "
+                  f"devices, have {len(jax.devices())}", file=sys.stderr)
+            return 2
+        devs = _np.array(jax.devices()[:n])
+        if len(dims) == 1:
+            mesh = Mesh(devs, ("y",))
+        else:
+            mesh = Mesh(devs.reshape(dims), ("y", "x"))
 
     from gcmiipy_tpu.model.config import ModelConfig
     from gcmiipy_tpu.model.driver import run_model
@@ -146,6 +205,9 @@ def cmd_run(args):
         year_days=args.year_days,
         convection=args.convection,
         evaporation=args.evaporation, gw0=args.gw0,
+        topography=args.topography, sea_level_temp=args.sea_level_temp,
+        land_cover=args.land_cover, albedo_land=args.albedo_land,
+        precipitation=args.precipitation, rh_crit=args.rh_crit,
         coriolis=args.coriolis, q_limiter=args.q_limiter,
         drag_tau=args.drag_tau,
         shapiro_every=args.shapiro_every, shapiro_order=args.shapiro_order,
@@ -168,7 +230,7 @@ def cmd_run(args):
         warnings.simplefilter("always", RuntimeWarning)
         p, u, v, t, q, ground, geom, stats = run_model(
             args.height, args.width, args.layers, args.dt, args.steps,
-            config=config)
+            config=config, mesh=mesh)
     blown = [w for w in caught if "blew up" in str(w.message)]
     # re-emit everything else (backend-fallback warnings etc.) — the
     # capture exists only to detect blow-ups, not to silence the rest

@@ -58,6 +58,11 @@ class Geom:
 
     ptop: np.ndarray       # pressure at sigma=0 top, scalar (geometry.py:147)
     heightmap: np.ndarray  # surface elevation [m], shape (J, I) (geometry.py:149)
+    # Land fraction in [0, 1], shape (J, I): 0 = open ocean.  The reference
+    # decodes the Hansen land-cover map but consumes it nowhere
+    # (hansen_topography.py:11-51); here it couples into surface albedo
+    # and evaporation availability when ModelConfig.land_cover enables it.
+    land_fraction: np.ndarray
 
     # Zonal damping mask for the Arakawa-Lamb polar filter, shape (J, I//2+1).
     # mask==1 everywhere the row needs no filtering (low_pass.py:64-71).
@@ -150,7 +155,8 @@ def _polar_mask(width, dy, dx_j):
 def gen_geometry(height, width, layers, sig_func=equal_sig,
                  north_edge=90.0, south_edge=-90.0,
                  west_edge=-180.0, east_edge=180.0,
-                 heightmap=None, ptop=0.0, sige_table=None):
+                 heightmap=None, ptop=0.0, sige_table=None,
+                 land_fraction=None):
     """Spherical lat-lon geometry (reference geometry.py:38-151).
 
     Latitude rows run from north to south: ``lat[j] = north - (j+.5) dlat``
@@ -184,6 +190,8 @@ def gen_geometry(height, width, layers, sig_func=equal_sig,
 
     if heightmap is None:
         heightmap = np.zeros((height, width), dtype=np.float64)
+    if land_fraction is None:
+        land_fraction = np.zeros((height, width), dtype=np.float64)
 
     return Geom(
         height=height, width=width, layers=layers,
@@ -197,6 +205,7 @@ def gen_geometry(height, width, layers, sig_func=equal_sig,
         area=area.reshape(height, 1),
         ptop=np.float64(ptop),
         heightmap=np.asarray(heightmap, dtype=np.float64),
+        land_fraction=np.asarray(land_fraction, dtype=np.float64),
         polar_mask=_polar_mask(width, dy, dx_j_row),
     )
 
@@ -221,6 +230,7 @@ def gen_square_geometry(height, width, layers, dx, dy, sig_func=equal_sig,
         area=area,
         ptop=np.float64(ptop),
         heightmap=np.zeros((height, width), dtype=np.float64),
+        land_fraction=np.zeros((height, width), dtype=np.float64),
         polar_mask=_polar_mask(width, float(dy), dx_j[0, :, 0]),
     )
 

@@ -17,27 +17,48 @@ from gcmiipy_tpu.model.state import GroundVars, ModelState, PrognosticVars
 
 
 def save_checkpoint(path, state: ModelState, step: int, use_orbax=True):
-    """Write ``state`` at ``step`` under ``path`` (a directory)."""
+    """Write ``state`` at ``step`` under ``path`` (a directory).
+
+    Host-aware: under multi-process execution the (DCN-sharded) state is
+    gathered to a full host replica on every process
+    (:func:`gcmiipy_tpu.parallel.distributed.fully_replicated_host_copy`
+    — a non-addressable shard cannot be ``np.asarray``'d), process 0
+    writes, and all processes synchronize before returning so a restore
+    on any host sees the finished file."""
+    from gcmiipy_tpu.parallel import distributed
+
     path = os.path.abspath(path)
-    if use_orbax:
+    host_state = distributed.fully_replicated_host_copy(state)
+    writer = not distributed.is_multiprocess() or jax.process_index() == 0
+    if use_orbax and writer:
         try:
             import orbax.checkpoint as ocp
             ckptr = ocp.PyTreeCheckpointer()
-            ckptr.save(os.path.join(path, f"step_{step:010d}"),
-                       jax.device_get(state))
+            ckptr.save(os.path.join(path, f"step_{step:010d}"), host_state)
+            distributed.barrier("checkpoint_save")
             return
         except ImportError:
             pass
-    os.makedirs(path, exist_ok=True)
-    flat = {
-        "p": state.prog.p, "u": state.prog.u, "v": state.prog.v,
-        "t": state.prog.t, "q": state.prog.q,
-        "gt": state.ground.gt, "gw": state.ground.gw,
-        "snow": state.ground.snow, "ice": state.ground.ice,
-        "utc": state.utc, "step": state.step,
-    }
-    np.savez(os.path.join(path, f"step_{step:010d}.npz"),
-             **{k: np.asarray(v) for k, v in flat.items()})
+    elif use_orbax:
+        try:
+            import orbax.checkpoint  # noqa: F401  match the writer's path
+            distributed.barrier("checkpoint_save")
+            return
+        except ImportError:
+            pass
+    if writer:
+        os.makedirs(path, exist_ok=True)
+        flat = {
+            "p": host_state.prog.p, "u": host_state.prog.u,
+            "v": host_state.prog.v,
+            "t": host_state.prog.t, "q": host_state.prog.q,
+            "gt": host_state.ground.gt, "gw": host_state.ground.gw,
+            "snow": host_state.ground.snow, "ice": host_state.ground.ice,
+            "utc": host_state.utc, "step": host_state.step,
+        }
+        np.savez(os.path.join(path, f"step_{step:010d}.npz"),
+                 **{k: np.asarray(v) for k, v in flat.items()})
+    distributed.barrier("checkpoint_save")
 
 
 def latest_step(path):

@@ -27,6 +27,24 @@ class ModelConfig:
     giss_sige: bool = False
     ptop: float = 0.0  # model-top pressure [Pa]; giss_sige forces 1000.0
 
+    # Terrain: 'flat' (reference default — every driver run uses a zero
+    # heightmap) or 'hansen' — the Hansen 1983 topography the reference
+    # decodes but never threads into a run (hansen_topography.py:53-96):
+    # the map is resampled to the grid, fed to gen_geometry, and the
+    # initial surface pressure is barometrically balanced against it
+    # (geometry.pressure_from_heightmap, reference geometry.py:185-234)
+    # at ``sea_level_temp``.
+    topography: str = "flat"
+    sea_level_temp: float = 288.0   # [K] for the barometric p init
+
+    # Land cover: 'none' or 'hansen' — couples the Hansen land-fraction
+    # map (decoded but consumed by NOTHING in the reference,
+    # hansen_topography.py:11-51) into the surface: albedo blends from
+    # ``albedo`` (ocean) to ``albedo_land``, and evaporation availability
+    # becomes beta=1 over ocean / soil-wetness-limited over land.
+    land_cover: str = "none"
+    albedo_land: float = 0.35
+
     # Time stepping (reference main(): dt = 30 min, no_limits_2_5d.py:263)
     dt: float = 1800.0
 
@@ -73,6 +91,15 @@ class ModelConfig:
     evaporation: bool = False
     gw0: float = 0.0
 
+    # Large-scale condensation / precipitation (GCM-II CONDSE analog —
+    # absent from the reference, whose saturated columns never rain):
+    # supersaturation above ``rh_crit`` is removed by an
+    # enthalpy-conserving saturation adjustment (latent heating applied)
+    # and the condensate rains into the ground-water reservoir, closing
+    # the atmosphere+ground total-water budget (physics/condensation.py).
+    precipitation: bool = False
+    rh_crit: float = 1.0
+
     # Rayleigh drag e-folding time [s] on the surface layer's momentum
     # (0 disables).  The GCM-II analog (SDRAG / surface friction) is a
     # stub in the reference (port.py:539-599); without ANY momentum sink
@@ -86,11 +113,12 @@ class ModelConfig:
     # (the MFILTR=1/2/3 selection); ``shapiro_order`` must be even.
     # ``shapiro_slp``: reduce p to sea level before smoothing (the GCM-II
     # "SEA LEVEL PRESSURE FILTER", port.py:571) — identical over flat
-    # terrain, a no-op for terrain-balanced p over topography.
+    # terrain, a no-op for terrain-balanced p over topography.  None
+    # (default) = auto: on over terrain (topography != 'flat'), off flat.
     shapiro_every: int = 0
     shapiro_order: int = 8
     shapiro_fields: str = "p"
-    shapiro_slp: bool = False
+    shapiro_slp: Optional[bool] = None
 
     # Radiation parameters of basic_grey_radiation (no_limits_2_5d.py:69)
     t_lw: float = 0.1

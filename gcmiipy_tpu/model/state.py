@@ -40,18 +40,26 @@ class ModelState(NamedTuple):
     step: jnp.ndarray
 
 
-def gen_initial_conditions(geom, dtype=jnp.float32):
+def gen_initial_conditions(geom, dtype=jnp.float32, surface_pressure=None):
     """Reference initial conditions (reference no_limits_2_5d.py:146-168):
 
     p = 1e5 Pa - ptop, u = 1 m/s, v = 0, tt = 360 K isothermal,
     q = max(3e-6, Manabe RH profile converted to mmr), ground at 360 K.
+
+    ``surface_pressure``: optional (J, I) absolute surface pressure [Pa]
+    replacing the uniform 1e5 — the terrain-balanced start
+    (geometry.pressure_from_heightmap); t and q derive from it so the
+    initial column thermodynamics stay self-consistent over topography.
     """
     full = (geom.layers, geom.height, geom.width)
     surface = (geom.height, geom.width)
     sig = jnp.asarray(geom.sig, dtype)
     ptop = jnp.asarray(geom.ptop, dtype)
 
-    p = jnp.full(surface, 100000.0, dtype=dtype) - ptop
+    if surface_pressure is None:
+        p = jnp.full(surface, 100000.0, dtype=dtype) - ptop
+    else:
+        p = jnp.asarray(surface_pressure, dtype) - ptop
     u = jnp.full(full, 1.0, dtype=dtype)
     v = jnp.zeros(full, dtype=dtype)
     tt = jnp.full(full, 360.0, dtype=dtype)

@@ -368,8 +368,9 @@ def make_fused_parts_padded(geom, dt, coriolis=False, dtype=jnp.float32,
 # ---------------------------------------------------------------------------
 
 
-def _padded_tiles(geom, tile_j, tile_i):
-    H, W = geom.height, geom.width
+def _padded_tiles(geom, tile_j, tile_i, local_height=None, local_width=None):
+    H = geom.height if local_height is None else local_height
+    W = geom.width if local_width is None else local_width
     if tile_i is None:
         tile_i = min(512, W) if W % 512 == 0 or W <= 512 else 256
         if W % tile_i:
@@ -395,17 +396,29 @@ def _geom_row_consts(geom, dtype, hj, hx):
 
 
 def make_pgf_kernel_padded(geom, dtype=jnp.float32, tile_j=32, tile_i=None,
-                           interpret=False):
+                           interpret=False, local_height=None,
+                           local_width=None, geom_as_args=False):
     """Front kernel of the v2 pipeline: padded (sp, su, st) ->
     (stacked [spu_raw; pg_phi] of shape (2L, H, W), pg_phiv of (L, H, W)),
     both in plain core layout (they feed the batched polar filter and the
-    rest kernel's elementwise epilogue — no halo needed)."""
+    rest kernel's elementwise epilogue — no halo needed).
+
+    ``local_height``/``local_width``/``geom_as_args``: for shard_map use
+    under a 2D (lat x lon) mesh — the kernel covers the shard's local
+    block and ``pgf_padded(sp, su, st, geom_arrays)`` takes the shard's
+    padded geometry ``(dxj, dxh, lat, heightmap)`` (dxj/dxh/lat row-padded
+    by PHJ, heightmap padded (PHJ, PHX)) as a fourth argument."""
     from gcmiipy_tpu.dynamics import core25d
 
     H, W, L = geom.height, geom.width, geom.layers
+    if local_height is not None:
+        H = local_height
+    if local_width is not None:
+        W = local_width
     hj, hx = PHJ, PHX
     dtype = jnp.dtype(dtype)
-    tile_j, tile_i = _padded_tiles(geom, tile_j, tile_i)
+    tile_j, tile_i = _padded_tiles(geom, tile_j, tile_i,
+                                   local_height=H, local_width=W)
     nj, ni = H // tile_j, W // tile_i
     tj_in, ti_in = tile_j + 2 * hj, tile_i + 2 * hx
 
@@ -456,8 +469,19 @@ def make_pgf_kernel_padded(geom, dtype=jnp.float32, tile_j=32, tile_i=None,
         interpret=interpret,
     )
 
-    dxj_c, _, _, hm_c, sigt_c, sigb_c, sig_c, dsig_c = _geom_row_consts(
-        geom, dtype, hj, hx)
+    sigt_c = jnp.asarray(geom.sigt, dtype)
+    sigb_c = jnp.asarray(geom.sigb, dtype)
+    sig_c = jnp.asarray(geom.sig, dtype)
+    dsig_c = jnp.asarray(geom.dsig, dtype)
+
+    if geom_as_args:
+        def pgf_padded(sp, su, st, geom_arrays):
+            dxj_c, _, _, hm_c = geom_arrays[:4]
+            return call(sp, su, st, dxj_c, hm_c,
+                        sigt_c, sigb_c, sig_c, dsig_c)
+        return pgf_padded
+
+    dxj_c, _, _, hm_c, _, _, _, _ = _geom_row_consts(geom, dtype, hj, hx)
 
     def pgf_padded(sp, su, st):
         return call(sp, su, st, dxj_c, hm_c, sigt_c, sigb_c, sig_c, dsig_c)
@@ -467,7 +491,8 @@ def make_pgf_kernel_padded(geom, dtype=jnp.float32, tile_j=32, tile_i=None,
 
 def make_rest_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
                             tile_j=32, tile_i=None, interpret=False,
-                            q_limiter=False):
+                            q_limiter=False, local_height=None,
+                            local_width=None, geom_as_args=False):
     """Back kernel of the v2 pipeline: everything downstream of the filter.
 
     Inputs: 10 padded-state fields, the filtered stack [spu; pgfu] — spu
@@ -475,15 +500,24 @@ def make_rest_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
     second half of the stacked filter output (block index L..2L, core
     layout, elementwise use only) — and pg_phiv (core).  Outputs all five
     prognostic fields in padded layout with stale halos.
+
+    ``local_height``/``local_width``/``geom_as_args``: shard_map form (see
+    :func:`make_pgf_kernel_padded`) — ``rest_padded(..., geom_arrays)``
+    takes the shard's padded ``(dxj, dxh, lat, heightmap)`` tables last.
     """
     from gcmiipy_tpu.dynamics import core25d
     from gcmiipy_tpu.ops import stencil
 
     H, W, L = geom.height, geom.width, geom.layers
+    if local_height is not None:
+        H = local_height
+    if local_width is not None:
+        W = local_width
     hj, hx = PHJ, PHX
     Hp, Wp = H + 2 * hj, W + 2 * hx
     dtype = jnp.dtype(dtype)
-    tile_j, tile_i = _padded_tiles(geom, tile_j, tile_i)
+    tile_j, tile_i = _padded_tiles(geom, tile_j, tile_i,
+                                   local_height=H, local_width=W)
     nj, ni = H // tile_j, W // tile_i
     tj_in, ti_in = tile_j + 2 * hj, tile_i + 2 * hx
 
@@ -563,7 +597,21 @@ def make_rest_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
         interpret=interpret,
     )
 
-    dxj_c, dxh_c, lat_c, _, sigt_c, sigb_c, sig_c, dsig_c = _geom_row_consts(
+    sigt_c = jnp.asarray(geom.sigt, dtype)
+    sigb_c = jnp.asarray(geom.sigb, dtype)
+    sig_c = jnp.asarray(geom.sig, dtype)
+    dsig_c = jnp.asarray(geom.dsig, dtype)
+
+    if geom_as_args:
+        def rest_padded(p, u, v, t, q, sp, su, sv, st, sq,
+                        spu_pad, filt_stack, pg_phiv, geom_arrays):
+            dxj_c, dxh_c, lat_c, _ = geom_arrays[:4]
+            return call(p, u, v, t, q, sp, su, sv, st, sq,
+                        spu_pad, filt_stack, pg_phiv,
+                        dxj_c, dxh_c, lat_c, sigt_c, sigb_c, sig_c, dsig_c)
+        return rest_padded
+
+    dxj_c, dxh_c, lat_c, _, _, _, _, _ = _geom_row_consts(
         geom, dtype, hj, hx)
 
     def rest_padded(p, u, v, t, q, sp, su, sv, st, sq,

@@ -46,6 +46,57 @@ def exchange_2d(x, halo, y_axis_name="y", x_axis_name="x",
     return exchange_axis(x, halo, x_axis_name, x_axis)
 
 
+def exchange_pad_aligned(x, ex, pad_j, pad_x,
+                         y_axis_name="y", x_axis_name="x"):
+    """Exchange depth-``ex`` 2D halos and embed into a zero-filled
+    ``(pad_j, pad_x)``-deep alignment pad in ONE buffer build.
+
+    TPU layout matters here: concatenating 3-cell halos onto a field
+    (:func:`exchange_2d`) materializes lane/sublane-MISALIGNED widths
+    (e.g. 1030), and every downstream op pays relayout copies — measured
+    30-70x slowdowns on v5e.  This form keeps the big buffer aligned:
+    the core lands at offset ``(pad_j, pad_x)`` (multiples of 8/128 by
+    construction of the padded-state layout) via an aligned
+    dynamic_update_slice, and only the TINY ex-deep halo strips are
+    odd-offset writes.  Cells beyond depth ``ex`` stay zero — valid for
+    consumers whose stencil reach is <= ex.
+
+    Corner cells are valid: the x strips are cut from the already
+    y-padded row range.
+    """
+    lead = x.ndim - 2
+    Hl, Wl = x.shape[-2], x.shape[-1]
+    Hp, Wp = Hl + 2 * pad_j, Wl + 2 * pad_x
+    zidx = (0,) * lead
+    out = jnp.zeros(x.shape[:-2] + (Hp, Wp), x.dtype)
+    out = jax.lax.dynamic_update_slice(out, x, zidx + (pad_j, pad_x))
+    # y halos (strips are (ex, Wl) — small)
+    top = x[..., :ex, :]
+    bot = x[..., Hl - ex:, :]
+    from_up = jax.lax.ppermute(bot, y_axis_name, _ring(y_axis_name, 1))
+    from_dn = jax.lax.ppermute(top, y_axis_name, _ring(y_axis_name, -1))
+    out = jax.lax.dynamic_update_slice(out, from_up,
+                                       zidx + (pad_j - ex, pad_x))
+    out = jax.lax.dynamic_update_slice(out, from_dn,
+                                       zidx + (pad_j + Hl, pad_x))
+    # x halos incl. corners: strips span the y-padded row range
+    row_lo, rows = pad_j - ex, Hl + 2 * ex
+    strip_r = jax.lax.dynamic_slice(
+        out, zidx + (row_lo, pad_x + Wl - ex),
+        x.shape[:-2] + (rows, ex))
+    strip_l = jax.lax.dynamic_slice(
+        out, zidx + (row_lo, pad_x), x.shape[:-2] + (rows, ex))
+    from_left = jax.lax.ppermute(strip_r, x_axis_name,
+                                 _ring(x_axis_name, 1))
+    from_right = jax.lax.ppermute(strip_l, x_axis_name,
+                                  _ring(x_axis_name, -1))
+    out = jax.lax.dynamic_update_slice(out, from_left,
+                                       zidx + (row_lo, pad_x - ex))
+    out = jax.lax.dynamic_update_slice(out, from_right,
+                                       zidx + (row_lo, pad_x + Wl))
+    return out
+
+
 def trim(x, halo, axes=(-2, -1)):
     """Remove halo padding along ``axes``."""
     for axis in axes:

@@ -40,11 +40,18 @@ DEFAULT_GW_CAP = 0.15    # [m] field capacity for the beta factor
 
 
 def bulk_evaporation(p, q, u, v, tt, gt, gw, geom, c_e=DEFAULT_CE,
-                     gust=DEFAULT_GUST, gw_cap=DEFAULT_GW_CAP):
-    """Evaporative mass flux E [kg m^-2 s^-1] (see module docstring).
+                     gust=DEFAULT_GUST, gw_cap=DEFAULT_GW_CAP,
+                     land_fraction=None):
+    """Evaporative mass flux [kg m^-2 s^-1] (see module docstring).
 
     ``p`` [j,i]; ``q,u,v,tt`` [k,j,i] (lowest layer k=0 is used);
-    ``gt, gw`` [j,i].  Pure and jit-safe; returns a [j,i] flux >= 0.
+    ``gt, gw`` [j,i].  Pure and jit-safe.
+
+    ``land_fraction=None`` (default, the pre-land-coupling behavior):
+    returns the total flux ``E`` with the soil beta applied everywhere.
+    With a land-fraction map (ModelConfig.land_cover='hansen'): returns
+    ``(E_total, E_land)`` where the ocean fraction evaporates at beta=1
+    (the sea never dries) and only ``E_land`` draws down ``gw``.
     """
     sig0 = jnp.asarray(geom.sig, p.dtype).reshape(-1)[0]
     ptop = jnp.asarray(geom.ptop, p.dtype)
@@ -55,24 +62,42 @@ def bulk_evaporation(p, q, u, v, tt, gt, gw, geom, c_e=DEFAULT_CE,
     vc = 0.5 * (v[0] + jnp.roll(v[0], 1, axis=-2))
     wind = jnp.sqrt(uc * uc + vc * vc + gust * gust)
     deficit = humidity.w_s_at(tp1, gt) - q[0]
+    base = jnp.maximum(rho1 * c_e * wind * deficit, 0.0)
     beta = jnp.clip(gw / gw_cap, 0.0, 1.0)
-    return jnp.maximum(beta * rho1 * c_e * wind * deficit, 0.0)
+    if land_fraction is None:
+        return beta * base
+    f = jnp.asarray(land_fraction, p.dtype)
+    e_land = f * beta * base
+    return e_land + (1.0 - f) * base, e_land
 
 
 def evaporation_step(p, q, u, v, tt, gt, gw, dt, geom, c_e=DEFAULT_CE,
-                     gust=DEFAULT_GUST, gw_cap=DEFAULT_GW_CAP):
+                     gust=DEFAULT_GUST, gw_cap=DEFAULT_GW_CAP,
+                     land_fraction=None):
     """Apply one evaporation step; returns ``(q_n, gt_n, gw_n)``.
 
-    The flux is additionally limited so a step can never extract more
-    water than the ground holds (``E dt <= gw rho_water``).
+    The land flux is additionally limited so a step can never extract
+    more water than the ground holds (``E dt <= gw rho_water``); with a
+    ``land_fraction`` map only the land share depletes ``gw`` (the ocean
+    share draws on an unlimited reservoir).
     """
-    E = bulk_evaporation(p, q, u, v, tt, gt, gw, geom, c_e=c_e, gust=gust,
-                         gw_cap=gw_cap)
-    E = jnp.minimum(E, gw * RHO_WATER / dt)
+    if land_fraction is None:
+        E = bulk_evaporation(p, q, u, v, tt, gt, gw, geom, c_e=c_e,
+                             gust=gust, gw_cap=gw_cap)
+        E = jnp.minimum(E, gw * RHO_WATER / dt)
+        e_land = E
+    else:
+        E, e_land = bulk_evaporation(p, q, u, v, tt, gt, gw, geom, c_e=c_e,
+                                     gust=gust, gw_cap=gw_cap,
+                                     land_fraction=land_fraction)
+        cap = gw * RHO_WATER / dt
+        clipped = jnp.minimum(e_land, cap)
+        E = E - (e_land - clipped)
+        e_land = clipped
     dsig0 = jnp.asarray(geom.dsig, p.dtype).reshape(-1)[0]
     dp1 = p * dsig0
     q_n = q.at[0].add(E * constants.G / dp1 * dt)
-    gw_n = gw - E / RHO_WATER * dt
+    gw_n = gw - e_land / RHO_WATER * dt
     lv = constants.lhv_water_0c
     gt_n = gt - lv * E / (constants.Cg * GROUND_SLAB) * dt
     return q_n, gt_n, gw_n

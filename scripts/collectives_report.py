@@ -136,6 +136,15 @@ def main():
     record("fused4", step_f4.lower(*state_y).compile(), 1,
            "one PHJ-row ring per step")
 
+    # fused 2D lat x lon (round-5): pgf/rest kernels per shard +
+    # spectral-psum filter (interpret-mode kernels; the collectives are
+    # the same ops the TPU build runs)
+    step_2d = shard_step.make_shard_step_fused2d(
+        mesh2, geom, config.dt, dtype=np.dtype(args.dtype),
+        interpret=True)
+    record("fused2d", step_2d.lower(*st2).compile(), 1,
+           "depth-3 2D halos x 3 rounds + 2 spectral psums per step")
+
     # streamed ring (one K*PHJ-row ring per K steps)
     from gcmiipy_tpu.ops.pallas_stencil import PHJ
     Hl = H // n
