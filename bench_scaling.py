@@ -145,6 +145,27 @@ def bench_shard(geom, config, n_dev, steps):
     return _timed(_scan_of(step, steps)(state), steps)
 
 
+def bench_fused2d(geom, config, n_dev, steps):
+    """Production 2D (lat x lon) path: pgf/rest kernels per shard +
+    spectral-psum polar filter (round 5)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gcmiipy_tpu.model import driver as driver_mod
+    from gcmiipy_tpu.parallel import mesh as mesh_mod, shard_step
+
+    mesh = mesh_mod.make_mesh(n_dev)
+    interpret = jax.default_backend() != "tpu"
+    step = shard_step.make_shard_step_fused2d(
+        mesh, geom, config.dt, dtype=config.dtype, interpret=interpret)
+    prog = driver_mod.gen_model_state(geom, config).prog
+    surf = NamedSharding(mesh, P("y", "x"))
+    full = NamedSharding(mesh, P(None, "y", "x"))
+    state = (jax.device_put(prog.p, surf),) + tuple(
+        jax.device_put(x, full) for x in (prog.u, prog.v, prog.t, prog.q))
+    return _timed(_scan_of(step, steps)(state), steps)
+
+
 def bench_stream_ring(geom, config, n_dev, steps):
     """K-step streaming lat-ring: one launch + one K*PHJ-deep ppermute
     round per K steps (the v5 advantage carried multi-chip)."""
@@ -154,6 +175,7 @@ def bench_stream_ring(geom, config, n_dev, steps):
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from gcmiipy_tpu.model import driver as driver_mod
+    from gcmiipy_tpu.model.config import ModelConfig
     from gcmiipy_tpu.ops.pallas_stencil import PHJ
     from gcmiipy_tpu.parallel import shard_step
 
@@ -167,7 +189,8 @@ def bench_stream_ring(geom, config, n_dev, steps):
         raise ValueError(f"steps {steps} must divide the launch size {K}")
     adv = shard_step.make_shard_stream_ring(
         mesh, geom, config.dt, steps_per_launch=K, dtype=config.dtype,
-        interpret=interpret, jit=False)
+        interpret=interpret, jit=False,
+        filter_split_tau=ModelConfig().filter_split_tau)
     prog = driver_mod.gen_model_state(geom, config).prog
     surf = NamedSharding(mesh, P("y", None))
     full = NamedSharding(mesh, P(None, "y", None))
@@ -187,7 +210,7 @@ def bench_stream_ring(geom, config, n_dev, steps):
 
 PATHS = {"gspmd": bench_gspmd, "fused": bench_fused_ring,
          "fused4": bench_fused4_ring, "shard": bench_shard,
-         "stream_ring": bench_stream_ring}
+         "stream_ring": bench_stream_ring, "fused2d": bench_fused2d}
 
 
 def run_scaling(height, width, layers, steps, device_counts, paths,

@@ -539,7 +539,12 @@ def _make_stream_ring_run_fn(geom, config, timesteps, mesh, start_step=0):
                            timesteps, mesh=mesh)
 
     config, K = _resolve_stream_cadence(config, timesteps)
-    K = _cadence_clamp(config, K, k_cap)
+    # ring halo depth K*PHJ is REDUNDANT rows recomputed per launch, and
+    # per-step exchange volume is K-invariant (K*PHJ rows per K steps) —
+    # measured on v5e at ny=1: K=2/4 run 2.64 ms/step, K=20 3.71, K=40
+    # 4.54 (halo amplification dominates; launch overhead ~0).  Cap the
+    # ring launch size at 4.
+    K = _cadence_clamp(config, K, min(k_cap, 4))
     headed = _with_alignment_head(
         geom, config, timesteps, K,
         lambda n: _make_stream_ring_run_fn(geom, config, n, mesh),

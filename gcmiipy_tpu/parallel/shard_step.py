@@ -190,14 +190,19 @@ def _spectral_psum_filter(CS_l, CwSw_l, mcc_l, x_axis_name="x",
         CS = CS_l.astype(q_core.dtype)
         CwSw = CwSw_l.astype(q_core.dtype)
         mcc = mcc_l.astype(q_core.dtype)
-        part = jnp.einsum("...jw,wn->...jn", q_core, CS,
-                          precision=precision,
+        # plain 2D matmuls (leading dims flattened): the einsum spelling
+        # lowers to HLO convolutions under shard_map on TPU — measured
+        # pathological; reshape+dot stays a clean MXU dot
+        lead = q_core.shape[:-1]
+        q2 = q_core.reshape(-1, q_core.shape[-1])
+        part = jnp.matmul(q2, CS, precision=precision,
                           preferred_element_type=q_core.dtype)
         spec = jax.lax.psum(part, x_axis_name)
-        corr = jnp.einsum("...jn,nw->...jw", spec * mcc, CwSw,
-                          precision=precision,
+        mrow = jnp.broadcast_to(mcc, lead[:-1] + mcc.shape).reshape(
+            -1, mcc.shape[-1])
+        corr = jnp.matmul(spec * mrow, CwSw, precision=precision,
                           preferred_element_type=q_core.dtype)
-        return q_core + corr
+        return q_core + corr.reshape(q_core.shape)
 
     return filter_core
 

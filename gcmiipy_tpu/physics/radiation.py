@@ -194,7 +194,8 @@ def _sw_cloud_sweep(downwelling_top, transmittance, t_cloud, cloud_albedo, c):
     xs = (transmittance, t_cloud, cloud_albedo)
     # scan from the top layer (index L-1) down to 0
     (last, reflected), (down_levels, absorbed) = jax.lax.scan(
-        body, (downwelling_top, jnp.zeros_like(downwelling_top)), xs, reverse=True)
+        body, (downwelling_top, jnp.zeros_like(downwelling_top)), xs,
+        reverse=True, unroll=True)
     return down_levels, absorbed, reflected
 
 
@@ -286,7 +287,7 @@ def grey_radiation(p, q, tt, c, g, utc, dt, geom):
           jnp.broadcast_to(lw_emissivity, emittance.shape),
           jnp.broadcast_to(lw_cloud_emissivity, emittance.shape))
     _, (lw_down_levels, lw_absorbed_dw) = jax.lax.scan(
-        lw_down_body, zero, xs, reverse=True)
+        lw_down_body, zero, xs, reverse=True, unroll=True)
 
     absorbed = absorbed_sw + lw_absorbed_dw
 
@@ -304,7 +305,8 @@ def grey_radiation(p, q, tt, c, g, utc, dt, geom):
         nxt = lw_transmitted + emit_layer
         return nxt, total_absorbtion
 
-    toa_up, lw_absorbed_uw = jax.lax.scan(lw_up_body, ground_emittance, xs)
+    toa_up, lw_absorbed_uw = jax.lax.scan(lw_up_body, ground_emittance, xs,
+                                          unroll=True)
     absorbed = absorbed + lw_absorbed_uw
 
     dt_ground = (ground_absorbtion - ground_emittance) / constants.Cg / 0.1
@@ -381,7 +383,7 @@ def basic_grey_radiation(p, tp, tt, g, t_lw, t_sw, albedo, utc, geom,
 
     zero = jnp.zeros(jnp.shape(Sc), dtype=dtype)
     _, LWA_a = jax.lax.scan(down_body, zero, (lw_t_full, emission),
-                            reverse=True)
+                            reverse=True, unroll=True)
 
     # Upwelling absorption from layer emission only (no ground term: the
     # ground is handled analytically by U_n) (grey_solar.py:513-518)
@@ -391,7 +393,8 @@ def basic_grey_radiation(p, tp, tt, g, t_lw, t_sw, albedo, utc, geom,
         nxt = previous * lw_t + emit_layer
         return nxt, absorbed_here
 
-    _, LWA_b = jax.lax.scan(up_body, zero, (lw_t_full, emission))
+    _, LWA_b = jax.lax.scan(up_body, zero, (lw_t_full, emission),
+                            unroll=True)
 
     # absorbed terrestrial radiation, eq. 2.30 (grey_solar.py:534)
     U_n = clw_b_div * U_s * (1 - lw_transmittance)
@@ -485,14 +488,15 @@ def four_band_radiation(p, tp, tt, q, g, t_sw, albedo, utc, geom,
     zero4 = jnp.zeros_like(emission[:, 0])
     _, LWA_a = jax.lax.scan(down_body, zero4,
                             (jnp.moveaxis(t_b, 1, 0),
-                             jnp.moveaxis(emission, 1, 0)), reverse=True)
+                             jnp.moveaxis(emission, 1, 0)), reverse=True,
+                            unroll=True)
     LWA_a = jnp.moveaxis(LWA_a, 0, 1).sum(0)                 # (L, ...)
 
     # --- upwelling from layer emission only (the reference's LWA_b
     # quirk: the ground term is analytic, grey_solar.py:513-518) --------
     _, LWA_b = jax.lax.scan(down_body, zero4,
                             (jnp.moveaxis(t_b, 1, 0),
-                             jnp.moveaxis(emission, 1, 0)))
+                             jnp.moveaxis(emission, 1, 0)), unroll=True)
     LWA_b = jnp.moveaxis(LWA_b, 0, 1).sum(0)
 
     # ground emission absorbed at layer k, per band: partitioned by the

@@ -22,18 +22,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_case(physics, steps, dtype="float64", convection=False,
-             drag_tau=0.0, seasonal=False):
+             drag_tau=0.0, seasonal=False, terrain=False,
+             grid=(8, 8, 3), dt=1800.0):
     import jax
     import numpy as np
 
-    from gcmiipy_tpu.grid import geometry
+    from gcmiipy_tpu.grid import geometry, topography
     from gcmiipy_tpu.model import driver
     from gcmiipy_tpu.model.config import ModelConfig
 
-    config = ModelConfig(dt=1800.0, dtype=dtype, physics=physics, guard=True,
+    H, W, L = grid
+    config = ModelConfig(height=H, width=W, layers=L, dt=dt, dtype=dtype,
+                         physics=physics, guard=True,
                          convection=convection, drag_tau=drag_tau,
-                         seasonal=seasonal)
-    geom = geometry.gen_geometry(8, 8, 3, sig_func=geometry.manabe_sig)
+                         seasonal=seasonal,
+                         topography="hansen" if terrain else "flat",
+                         land_cover="hansen" if terrain else "none",
+                         shapiro_every=4 if terrain else 0,
+                         # balance the initial p against the IC's own
+                         # 360 K isothermal atmosphere — the default
+                         # 288 K balance leaves a hydrostatic shock at
+                         # terrain faces that trips the guard in ~30
+                         # steps (measured)
+                         sea_level_temp=360.0)
+    config = driver.normalize_config(config)
+    hm = (topography.resample_map(topography.TOPOGRAPHY_M, H, W)
+          if terrain else None)
+    lf = (topography.resample_map(topography.LAND_COVER, H, W)
+          if terrain else None)
+    geom = geometry.gen_geometry(H, W, L, sig_func=geometry.manabe_sig,
+                                 heightmap=hm, land_fraction=lf)
     geom = geom.astype(np.dtype(dtype))
     state = driver.gen_model_state(geom, config)
     run = driver.make_run_fn(geom, config, steps)
@@ -51,6 +69,8 @@ def run_case(physics, steps, dtype="float64", convection=False,
         "convection": convection,
         "drag_tau": drag_tau,
         "seasonal": seasonal,
+        "terrain": terrain,
+        "grid": list(grid),
         "steps": steps,
         "ok": ok,
         "blown_step": blown,
@@ -108,15 +128,27 @@ def main():
     # midnight-sun polar forcing the 2-day drag of the perpetual-equinox
     # case lets pressure build past the 1150 mb scream at ~step 12k
     # (measured; tau=86400 holds p_max at ~1012 mb over the full year).
-    for physics, conv, tau, seas in (
-            (False, False, 0.0, False), (True, False, 0.0, False),
-            (True, True, 2 * 86400.0, False),
-            (True, True, 86400.0, True)):
+    # the fifth case (round 5) is the terrain run: the historical GCM-II
+    # 24x36x9 grid with the Hansen topography + land cover, terrain-
+    # balanced initial pressure, the sea-level-pressure Shapiro FILTER
+    # every 4 steps (normalize_config auto-selects slp over terrain), and
+    # the stabilized physics stack, at the historical DT=900 s.
+    for physics, conv, tau, seas, terr in (
+            (False, False, 0.0, False, False),
+            (True, False, 0.0, False, False),
+            (True, True, 2 * 86400.0, False, False),
+            (True, True, 86400.0, True, False),
+            (True, True, 86400.0, False, True)):
         n = max(args.steps, 17520) if seas else args.steps
         rec = run_case(physics, n, dtype=args.dtype,
-                       convection=conv, drag_tau=tau, seasonal=seas)
+                       convection=conv, drag_tau=tau, seasonal=seas,
+                       terrain=terr,
+                       grid=(24, 36, 9) if terr else (8, 8, 3),
+                       dt=900.0 if terr else 1800.0)
         results.append(rec)
-        if seas:
+        if terr:
+            healthy = rec["ok"] and rec["p_finite"]
+        elif seas:
             # the annual-cycle run must go the (seasonal) distance
             healthy = rec["ok"] and rec["p_finite"]
         elif physics and not conv:

@@ -326,6 +326,23 @@ def main():
                    f"max per-field rel = {rel:.3e} (bound "
                    f"{args.step1_rel_bound})")
 
+    # ---- gate 7: fused 2D lat x lon path (1x1 mesh) vs the XLA core -------
+    # the round-5 ('y','x') production path compiles the pgf/rest kernels
+    # in local_width/geom_as_args mode + the spectral-psum filter — a
+    # Mosaic program the CPU tests run only in interpret mode; on one
+    # device the halo exchanges are the periodic wrap, so outputs must
+    # match the XLA core at the step-1 tolerance
+    mesh11 = _Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("y", "x"))
+    step_2d = _ss.make_shard_step_fused2d(
+        mesh11, geom, args.dt, dtype=np.float32, interpret=interpret)
+    d1 = tuple(np.asarray(x) for x in jax.block_until_ready(
+        step_2d(*state)))
+    rel = rel_diff(x1, d1)
+    all_ok &= gate("fused2d (1x1 'y','x' mesh) step-1 vs XLA",
+                   rel < args.step1_rel_bound,
+                   f"max per-field rel = {rel:.3e} (bound "
+                   f"{args.step1_rel_bound})")
+
     # ---- gate 5: wide-grid stream (split-bf16 DFT factors) vs XLA ---------
     # W > MEGA_MAX_WIDTH stores the banded factor matrices as hi/lo-split
     # bf16 pairs (forward AND inverse) and defaults tile_j=16
