@@ -688,12 +688,36 @@ def _make_stream_run_fn(geom, config, timesteps, start_step=0):
         return make_run_fn(geom, _dc.replace(config, backend="mega4"),
                            timesteps)
 
-    config, K = _resolve_stream_cadence(config, timesteps)
-    headed = _with_alignment_head(
-        geom, config, timesteps, K,
-        lambda n: _make_stream_run_fn(geom, config, n), start_step)
-    if headed is not None:
-        return headed
+    # IN-KERNEL per-step physics (round 5): at physics_every=1 with the
+    # grey scheme the radiation/convection/drag epilogue runs INSIDE each
+    # in-kernel step (pallas_stream physics=...), so reference per-step
+    # cadence no longer costs the mega4 fallback.  Convection uses the
+    # fixed 4-sweep form in-kernel (Mosaic has no while_loop; same fixed
+    # point as the adaptive XLA form — strongly-unstable transient
+    # columns may take a few extra steps to converge).
+    inkernel_physics = (
+        config.physics and config.physics_every == 1
+        and config.radiation == "grey" and not config.evaporation
+        and not config.precipitation and config.shapiro_every == 0
+        and config.land_cover == "none" and not config.stream_pipeline)
+
+    if inkernel_physics:
+        K = max(2, config.stream_steps - config.stream_steps % 2)
+        K = min(K, timesteps - timesteps % 2)
+        physics_dict = dict(
+            t_lw=config.t_lw, t_sw=config.t_sw, albedo=config.albedo,
+            drag_tau=config.drag_tau,
+            convection_sweeps=4 if config.convection else 0,
+            seasonal=config.seasonal, obliquity=config.obliquity,
+            year_days=config.year_days)
+    else:
+        physics_dict = None
+        config, K = _resolve_stream_cadence(config, timesteps)
+        headed = _with_alignment_head(
+            geom, config, timesteps, K,
+            lambda n: _make_stream_run_fn(geom, config, n), start_step)
+        if headed is not None:
+            return headed
     interpret = jax.default_backend() != "tpu"
     dtype = jnp.dtype(config.dtype)
     n_chunks, rem = divmod(timesteps, K)
@@ -706,7 +730,8 @@ def _make_stream_run_fn(geom, config, timesteps, start_step=0):
             geom, config.dt, k, coriolis=config.coriolis, dtype=dtype,
             filter_precision=config.filter_precision, interpret=interpret,
             q_limiter=config.q_limiter, pipeline=config.stream_pipeline,
-            filter_split_tau=config.filter_split_tau)
+            filter_split_tau=config.filter_split_tau,
+            physics=physics_dict)
 
     multi = make_k(K)
     multi_rem = make_k(rem_even) if rem_even else None
@@ -714,11 +739,15 @@ def _make_stream_run_fn(geom, config, timesteps, start_step=0):
                                     warn_degrade=False) if tail_odd
                  else None)
 
-    has_extras = config.physics or config.drag_tau > 0
-    has_shapiro = config.shapiro_every > 0
+    has_extras = ((config.physics or config.drag_tau > 0)
+                  and not inkernel_physics)
+    has_shapiro = config.shapiro_every > 0 and not inkernel_physics
 
     def to_model_state(carry):
         S, g, utc, step = carry
+        if inkernel_physics:
+            # ground temperature lives in the packed buffer's extra plane
+            g = g._replace(gt=S[0, pallas_stream.n_planes(L)])
         return ModelState(PrognosticVars(*pallas_stream.unpack_state(
             S[0], L)), g, utc, step)
 
@@ -794,22 +823,25 @@ def _make_stream_run_fn(geom, config, timesteps, start_step=0):
 
     def advance_chunk(carry, multi_k, k):
         S, g, utc, step = carry
-        S = multi_k(S)
+        S = multi_k(S, utc) if inkernel_physics else multi_k(S)
         return chunk_extras((S, g, utc + k * config.dt, step + k), k)
 
     def advance_tail_odd(carry):
         # single odd step on the per-step path; returns a packed carry
         state = full_timestep(to_model_state(carry), geom, config, None,
                               tail_step)
-        S = carry[0].at[0].set(pallas_stream.pack_state(*state.prog))
+        gt = state.ground.gt if inkernel_physics else None
+        S = carry[0].at[0].set(pallas_stream.pack_state(*state.prog,
+                                                        gt=gt))
         return (S, state.ground, state.utc, state.step)
 
     def carry_bad(carry):
         return state_bad(to_model_state(carry), config)
 
     def pack_initial(state: ModelState):
+        gt = (state.ground.gt.astype(dtype) if inkernel_physics else None)
         packed = pallas_stream.pack_state(
-            *(x.astype(dtype) for x in state.prog))
+            *(x.astype(dtype) for x in state.prog), gt=gt)
         S = jnp.stack([packed, jnp.zeros_like(packed)])
         return (S, state.ground, state.utc, state.step)
 

@@ -49,9 +49,16 @@ def n_planes(layers):
     return 1 + 4 * layers
 
 
-def pack_state(p, u, v, t, q):
-    """Stack (p, u, v, t, q) into the (1+4L, H, W) plane layout."""
-    return jnp.concatenate([p[None], u, v, t, q], axis=0)
+def pack_state(p, u, v, t, q, gt=None):
+    """Stack (p, u, v, t, q) into the (1+4L, H, W) plane layout.
+
+    ``gt``: optional ground-temperature surface plane appended last —
+    the in-kernel physics epilogue advances it alongside the prognostics
+    (``make_stream_kernel(physics=...)``)."""
+    planes = [p[None], u, v, t, q]
+    if gt is not None:
+        planes.append(gt[None])
+    return jnp.concatenate(planes, axis=0)
 
 
 def unpack_state(packed, layers):
@@ -98,12 +105,28 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
                        q_limiter=False, pipeline=False, _copy_body=False,
                        _wide_factor_dtype=None, filter_split_tau=0.0,
                        local_height=None, geom_as_args=False,
-                       _stream_factors=None):
+                       _stream_factors=None, physics=None):
     """Build ``multi(S) -> S`` running ``steps`` Matsuno steps in one launch.
 
     ``S`` is the packed double buffer ``(2, 1+4L, H, W)``: buffer 0 holds
     the state (buffer 1 is scratch whose contents are ignored on entry);
     on return buffer 0 holds the advanced state (``steps`` must be even).
+
+    ``physics``: optional dict enabling the IN-KERNEL per-step physics
+    epilogue (round-5; closes the pe=1 gap — reference cadence applies
+    physics after EVERY step, ``no_limits_2_5d.py:79-94``, which
+    previously forced the per-step mega4 fallback).  Keys: ``t_lw``,
+    ``t_sw``, ``albedo`` (scalars), ``drag_tau`` (0 = off),
+    ``convection_sweeps`` (0 = off; the FIXED-sweep Manabe adjustment —
+    Mosaic has no while_loop, so the adaptive early-exit form stays an
+    XLA-side option), ``seasonal``/``obliquity``/``year_days``.  The
+    packed buffer grows a ground-temperature plane (``pack_state(...,
+    gt=...)``) and ``multi(S, utc0)`` takes the chunk-start model clock;
+    each in-kernel step s applies grey radiation (static-ladder form,
+    :func:`gcmiipy_tpu.physics.radiation.basic_grey_radiation_ladder`),
+    optional convection and surface drag to its freshly computed core
+    rows at utc0 + s*dt — numerics match the per-step mega4 extras path
+    (physics is column-local, core rows are exact per step).
 
     ``tile_j`` rows of latitude stream per block; every block additionally
     reads the PHJ-row halo above and below (1.5x read amplification at
@@ -134,6 +157,14 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
         H = local_height
     dtype = jnp.dtype(dtype)
     NP = n_planes(L)
+    # the physics epilogue carries ground temperature as one extra plane
+    NPP = NP + 1 if physics else NP
+    if physics and geom_as_args:
+        raise ValueError("physics epilogue + geom_as_args (lat-ring "
+                         "shards) is not supported yet; use the "
+                         "single-device stream or the mega4 ring")
+    if physics and pipeline:
+        pipeline = False
     if steps % 2:
         raise ValueError(f"steps must be even (buffer ping-pong), got {steps}")
     if not interpret and W > STREAM_MAX_WIDTH:
@@ -261,11 +292,64 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
             if filter_precision in ("default", "fwd_high")
             else jax.lax.Precision.HIGHEST)
 
+    if physics:
+        from gcmiipy_tpu import constants as _const
+        from gcmiipy_tpu.physics import convection as _conv
+        from gcmiipy_tpu.physics import radiation as _rad
+
+        ph = dict(physics)
+        sig_vals = [float(x) for x in np.asarray(geom.sig).ravel()]
+        dsig_vals = [float(x) for x in np.asarray(geom.dsig).ravel()]
+        ptop_f = float(geom.ptop)
+        # kernels may not capture array constants: longitudes ride as a
+        # (1, W) VMEM input
+        long_c = jnp.asarray(geom.long, dtype).reshape(1, W)
+
+        def physics_epilogue(p_c, u_c, v_c, t_c, q_c, gt_c, lat_c, longs,
+                             utc_s):
+            """Per-step column physics on the cropped core rows: grey
+            radiation (static-ladder), optional fixed-sweep convection,
+            surface drag.  Mirrors driver.physics_extras at
+            physics_every=1 (utc_s = the clock at the START of the
+            just-completed step)."""
+            tp = jnp.stack([p_c * s_ + ptop_f for s_ in sig_vals])
+            exner_inv = (_const.P0 / tp) ** _const.kappa
+            tt = t_c / exner_inv
+            decl = (_rad.solar_declination(utc_s,
+                                           ph.get("obliquity", 23.44),
+                                           ph.get("year_days", 365.0))
+                    if ph.get("seasonal") else 0.0)
+            sza = _rad.zenith_angle(longs, lat_c, utc_s, geom,
+                                    declination=decl)
+            dTdt, dtg = _rad.basic_grey_radiation_ladder(
+                p_c, tt, gt_c, ph["t_lw"], ph["t_sw"], ph["albedo"],
+                sza, dsig_vals)
+            gt_n = gt_c + dtg * dt
+            tt = tt + dTdt * dt
+            sweeps = ph.get("convection_sweeps", 0)
+            if sweeps:
+                dp = jnp.stack([p_c * d_ for d_ in dsig_vals])
+                tt = _conv.convective_adjustment(tt, tp, dp,
+                                                 adaptive=False,
+                                                 sweeps=sweeps)
+            t_n = tt * exner_inv
+            tau = ph.get("drag_tau", 0.0)
+            if tau > 0:
+                f = 1.0 / (1.0 + dt / tau)
+                u_c = jnp.concatenate([u_c[:1] * f, u_c[1:]], axis=0)
+                v_c = jnp.concatenate([v_c[:1] * f, v_c[1:]], axis=0)
+            return u_c, v_c, t_n, gt_n
+
     def kernel(S_in, dxj_ref, dxh_ref, lat_ref, hm_ref, wall_ref,
                sigt_ref, sigb_ref, sig_ref, dsig_ref,
-               CS_ref, CwSw_ref, mask_ref, nch_ref, ns_ref,
-               S_ref, ibuf, obuf, mwin, isem, osem, *fbufs):
+               CS_ref, CwSw_ref, mask_ref, nch_ref, ns_ref, *rest):
         del S_in  # aliased with S_ref; all access goes through S_ref
+        if physics:
+            (utc_ref, long_ref, S_ref, ibuf, obuf, mwin, isem, osem,
+             *fbufs) = rest
+        else:
+            utc_ref = long_ref = None
+            S_ref, ibuf, obuf, mwin, isem, osem, *fbufs = rest
         factor_dma = tuple(fbufs) if fbufs else None
         mk = pltpu.make_async_copy
 
@@ -325,8 +409,10 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
                    else nch_ref[j, 0])
             return lgeom, keep, nch
 
-        def compute(j, win):
-            """v4 block body on the (NP, tj_in, W) input window."""
+        def compute(j, win, s=None):
+            """v4 block body on the (NPP, tj_in, W) input window; with the
+            physics epilogue, ``s`` (the in-launch step index) times the
+            per-step clock."""
             if _copy_body:
                 # perf probe: DMA pipeline floor (numerically meaningless)
                 return win[:, hj:hj + tile_j, :]
@@ -337,6 +423,15 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
                 CS_ref, CwSw_ref,
                 dt, coriolis, split_fwd, split_inv, prec, dtype,
                 q_limiter=q_limiter, factor_dma=factor_dma)
+            if physics:
+                gt_c = win[NP, hj:hj + tile_j, :]
+                lat_c = lgeom.lat[hj:hj + tile_j]
+                utc_s = utc_ref[0] + s.astype(dtype) * dt
+                u_n, v_n, t_n, gt_n = physics_epilogue(
+                    p_n, u_n, v_n, t_n, q_n, gt_c, lat_c, long_ref[:, :],
+                    utc_s)
+                return jnp.concatenate(
+                    [p_n[None], u_n, v_n, t_n, q_n, gt_n[None]], axis=0)
             return jnp.concatenate(
                 [p_n[None], u_n, v_n, t_n, q_n], axis=0)
 
@@ -393,7 +488,7 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
                     start_in(par, jax.lax.rem(j + 1, 2), j + 1)
 
                 wait_in(par, slot, j)
-                packed = compute(j, ibuf[slot])
+                packed = compute(j, ibuf[slot], s)
 
                 @pl.when(j >= 2)
                 def _():
@@ -492,8 +587,8 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
     # slots; resident factors are whole-array VMEM inputs
     fspec = aspec if stream_factors else vspec
     scratch = [
-        pltpu.VMEM((n_islots, NP, tj_in, W), dtype),
-        pltpu.VMEM((2, NP, tile_j, W), dtype),
+        pltpu.VMEM((n_islots, NPP, tj_in, W), dtype),
+        pltpu.VMEM((2, NPP, tile_j, W), dtype),
         pltpu.VMEM((2, tj_in, ncols) if pipeline
                    else (tj_in, ncols), dtype),
         pltpu.SemaphoreType.DMA((n_islots, 3)),
@@ -516,9 +611,9 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
     call = pl.pallas_call(
         kernel,
         in_specs=[aspec] + [vspec] * 9 + [fspec, fspec, vspec]
-                 + [sspec, sspec],
+                 + [sspec, sspec] + ([sspec, vspec] if physics else []),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((2, NP, H, W), dtype),
+        out_shape=jax.ShapeDtypeStruct((2, NPP, H, W), dtype),
         input_output_aliases={0: 0},
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
@@ -544,6 +639,20 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
         # the caller building per-shard nch tables must match the
         # kernel's selective decision (wide/stream_factors opt out)
         multi.selective = selective
+        return multi
+
+    if physics:
+        def multi(S, utc0):
+            """``utc0``: model clock [s] at the start of this launch
+            (scalar, traced — the epilogue clocks step s at
+            utc0 + s*dt)."""
+            utc_a = jnp.asarray(utc0, dtype).reshape(1)
+            return call(S, dxj_c, dxh_c, lat_c, hm_c, wall_c,
+                        sigt_c, sigb_c, sig_c, dsig_c,
+                        CS_c, CwSw_c, mask_c, nch_c, ns_c, utc_a, long_c)
+
+        multi.tile_j = tile_j
+        multi.physics_planes = NPP
         return multi
 
     def multi(S):

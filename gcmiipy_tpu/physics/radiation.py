@@ -334,6 +334,71 @@ def basic_3_gas_absorbance(p, tp, tt, rho, q, geom):
     return lw_absorbance, sw_absorbance
 
 
+def basic_grey_radiation_ladder(p, tt, gt, t_lw, t_sw, albedo, sza,
+                                dsig_vals):
+    """Kernel-safe twin of :func:`basic_grey_radiation`'s core: identical
+    math with every k-recurrence as a STATIC Python ladder over the
+    L <= 18 layers — no ``cumprod``/``flip``/``lax.scan``, which Mosaic
+    cannot lower inside Pallas kernels (CLAUDE.md constraints).  The
+    per-layer grey transmittances and their cumulative products are
+    PYTHON FLOATS (t_lw/t_sw scalars to static dsig powers), so the
+    ladder is pure elementwise VPU work.
+
+    ``p`` (rows, W); ``tt`` (L, rows, W) true temperature; ``gt`` ground
+    temperature; ``sza`` the clamped cos-zenith field; ``dsig_vals`` the
+    static per-layer sigma thicknesses (floats).  Returns
+    ``(dTdt (L,rows,W), dt_ground (rows,W))`` — bitwise-compatible with
+    :func:`basic_grey_radiation` up to float summation order.
+    """
+    L = len(dsig_vals)
+    lw_t = [float(t_lw) ** float(d) for d in dsig_vals]
+    sw_t = [float(t_sw) ** float(d) for d in dsig_vals]
+    # cumulative transmittance products (floats)
+    cum_sw_top = [0.0] * L          # prod of sw_t[k:] (incl. k)
+    acc = 1.0
+    for k in range(L - 1, -1, -1):
+        acc *= sw_t[k]
+        cum_sw_top[k] = acc
+    clw_b_div = [0.0] * L           # prod of lw_t[:k] (excl. k)
+    acc = 1.0
+    for k in range(L):
+        clw_b_div[k] = acc
+        acc *= lw_t[k]
+
+    sb = constants.sb_constant
+    emission = [(1.0 - lw_t[k]) * sb * tt[k] ** 4 for k in range(L)]
+
+    B = emission[0] * clw_b_div[0]
+    for k in range(1, L):
+        B = B + emission[k] * clw_b_div[k]
+    Sc = constants.solar_constant * sza
+    S = (1.0 - albedo) * Sc * cum_sw_top[0]
+    U_s = sb * gt ** 4
+    dt_ground = (B + S - U_s) / constants.Cg / 0.1
+
+    # downwelling LW absorption, top -> bottom
+    LWA_a = [None] * L
+    d = jnp.zeros_like(p)
+    for k in range(L - 1, -1, -1):
+        LWA_a[k] = d * (1.0 - lw_t[k])
+        d = d * lw_t[k] + emission[k]
+    # upwelling from layer emission only, bottom -> top
+    LWA_b = [None] * L
+    d = jnp.zeros_like(p)
+    for k in range(L):
+        LWA_b[k] = d * (1.0 - lw_t[k])
+        d = d * lw_t[k] + emission[k]
+
+    dTdt = []
+    for k in range(L):
+        U_n = clw_b_div[k] * (1.0 - lw_t[k]) * U_s
+        S_n = (1.0 - sw_t[k]) * cum_sw_top[k] / sw_t[k] * Sc
+        dTdt.append((U_n + S_n - 2.0 * emission[k] + LWA_a[k] + LWA_b[k])
+                    * (constants.G / (constants.Cp * float(dsig_vals[k])))
+                    / p)
+    return jnp.stack(dTdt), dt_ground
+
+
 def basic_grey_radiation(p, tp, tt, g, t_lw, t_sw, albedo, utc, geom,
                          declination=0.0):
     """Basic grey atmosphere, Atmospheric Dynamics section 2.7

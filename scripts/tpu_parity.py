@@ -326,6 +326,26 @@ def main():
                    f"max per-field rel = {rel:.3e} (bound "
                    f"{args.step1_rel_bound})")
 
+    # ---- gate 6b: IN-KERNEL per-step physics (round 5) --------------------
+    # at physics_every=1 the stream backend runs the grey-radiation/drag
+    # epilogue INSIDE each in-kernel step (pallas_stream physics=...):
+    # gate it against the per-step mega4 extras path (convection off —
+    # in-kernel convection uses the fixed-sweep form)
+    phys1_kw = dict(phys_kw, physics_every=1, convection=False)
+    outs1 = {}
+    for be in ("stream", "mega4"):
+        cfg_p = _MC(backend=be, stream_steps=2, **phys1_kw)
+        st0 = driver_mod.gen_model_state(geom, cfg_p)
+        run_p = driver_mod.make_run_fn(geom, cfg_p, 4)
+        out = run_p(st0)
+        outs1[be] = tuple(np.asarray(x) for x in jax.block_until_ready(
+            out[0].prog))
+    rel = rel_diff(outs1["mega4"], outs1["stream"])
+    all_ok &= gate("IN-KERNEL per-step physics (pe=1) stream vs mega4, "
+                   "4 steps", rel < args.step1_rel_bound,
+                   f"max per-field rel = {rel:.3e} (bound "
+                   f"{args.step1_rel_bound})")
+
     # ---- gate 7: fused 2D lat x lon path (1x1 mesh) vs the XLA core -------
     # the round-5 ('y','x') production path compiles the pgf/rest kernels
     # in local_width/geom_as_args mode + the spectral-psum filter — a

@@ -382,3 +382,76 @@ def test_stream_envelope_fallback():
     geom = geo.gen_geometry(24, 36, 3).astype(np.float64)  # 36 % 128 != 0
     with pytest.warns(UserWarning, match="streaming envelope"):
         make_run_fn(geom, cfg, 4)
+
+
+def test_stream_inkernel_per_step_physics():
+    """Round 5: at physics_every=1 the stream backend runs the physics
+    epilogue INSIDE each in-kernel step (pallas_stream physics=...) —
+    ending the mega4 fallback for reference per-step cadence.  7 steps
+    (one K=4 chunk + an even remainder + an odd tail) must match the
+    per-step mega4 path at f64 roundoff, including the in-buffer ground
+    temperature."""
+    import jax
+
+    from gcmiipy_tpu.grid import geometry as geo
+    from gcmiipy_tpu.model import driver
+    from gcmiipy_tpu.model.config import ModelConfig
+
+    H, W, L = 16, 128, 3
+    geom = geo.gen_geometry(H, W, L,
+                            sig_func=geo.manabe_sig).astype(np.float64)
+    common = dict(height=H, width=W, layers=L, dt=300.0, dtype="float64",
+                  physics=True, physics_every=1, drag_tau=86400.0,
+                  stats=False, guard=True)
+    outs = {}
+    for be, extra in (("mega4", {}), ("stream", dict(stream_steps=4))):
+        cfg = ModelConfig(backend=be, **common, **extra)
+        st = driver.gen_model_state(geom, cfg)
+        out = driver.make_run_fn(geom, cfg, 7)(
+            jax.tree.map(jnp.asarray, st))
+        assert bool(out[2].ok)
+        outs[be] = out[0]
+    for name, a, b in zip("puvtq", outs["stream"].prog,
+                          outs["mega4"].prog):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-10,
+                                   err_msg=f"field {name}")
+    np.testing.assert_allclose(np.asarray(outs["stream"].ground.gt),
+                               np.asarray(outs["mega4"].ground.gt),
+                               rtol=1e-12, atol=1e-12)
+    assert int(outs["stream"].step) == 7
+
+
+def test_stream_inkernel_physics_seasonal_convection():
+    """The in-kernel epilogue's seasonal declination matches the per-step
+    path; with convection the fixed-sweep in-kernel form agrees with the
+    adaptive mega4 form once columns converge (same fixed point —
+    tolerance covers the transient)."""
+    import jax
+
+    from gcmiipy_tpu.grid import geometry as geo
+    from gcmiipy_tpu.model import driver
+    from gcmiipy_tpu.model.config import ModelConfig
+
+    from gcmiipy_tpu.grid import geometry as geo
+    from gcmiipy_tpu.model import driver
+    from gcmiipy_tpu.model.config import ModelConfig
+
+    H, W, L = 16, 128, 3
+    geom = geo.gen_geometry(H, W, L,
+                            sig_func=geo.manabe_sig).astype(np.float64)
+    common = dict(height=H, width=W, layers=L, dt=300.0, dtype="float64",
+                  physics=True, physics_every=1, drag_tau=86400.0,
+                  seasonal=True, convection=True, stats=False)
+    outs = {}
+    for be, extra in (("mega4", {}), ("stream", dict(stream_steps=4))):
+        cfg = ModelConfig(backend=be, **common, **extra)
+        st = driver.gen_model_state(geom, cfg)
+        out = driver.make_run_fn(geom, cfg, 4)(
+            jax.tree.map(jnp.asarray, st))
+        outs[be] = out[0]
+    for name, a, b in zip("puvtq", outs["stream"].prog,
+                          outs["mega4"].prog):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f"field {name}")
