@@ -331,20 +331,39 @@ def main():
     # epilogue INSIDE each in-kernel step (pallas_stream physics=...):
     # gate it against the per-step mega4 extras path (convection off —
     # in-kernel convection uses the fixed-sweep form)
+    # start from the gate's random spun-up winds (same _initial as every
+    # kernel gate): the driver IC has u = 0, and the in-kernel radiation
+    # (static-ladder summation order) differs from the XLA form at f32
+    # roundoff (~7e-6 on t) — on a zero-wind field the u-relative metric
+    # measures only that heating noise (measured 0.29 "rel" on |u| ~ 1e-5
+    # fields; p exact, gt 1.7e-7)
+    from gcmiipy_tpu.model.state import PrognosticVars as _PV
     phys1_kw = dict(phys_kw, physics_every=1, convection=False)
+    # host snapshot: make_run_fn DONATES its input, and jnp.asarray of a
+    # live jax array aliases it — donating `state` would break the later
+    # gates that reuse it
+    state_np = tuple(np.asarray(x) for x in state)
     outs1 = {}
     for be in ("stream", "mega4"):
         cfg_p = _MC(backend=be, stream_steps=2, **phys1_kw)
         st0 = driver_mod.gen_model_state(geom, cfg_p)
+        st0 = st0._replace(prog=_PV(*(jnp.asarray(x) for x in state_np)))
         run_p = driver_mod.make_run_fn(geom, cfg_p, 4)
         out = run_p(st0)
         outs1[be] = tuple(np.asarray(x) for x in jax.block_until_ready(
             out[0].prog))
     rel = rel_diff(outs1["mega4"], outs1["stream"])
+    # bound: unlike gates 6/4b (identical physics code on both sides ->
+    # bitwise), this compares TWO radiation implementations (in-kernel
+    # static ladder vs XLA scans) whose f32 summation orders differ at
+    # ~7e-6 on t per application; 4 dynamics steps amplify that to
+    # ~1e-4 (measured 1.085e-4 healthy) — bound at 4e-4, the wide-gate
+    # class
+    pe1_bound = 4e-4
     all_ok &= gate("IN-KERNEL per-step physics (pe=1) stream vs mega4, "
-                   "4 steps", rel < args.step1_rel_bound,
-                   f"max per-field rel = {rel:.3e} (bound "
-                   f"{args.step1_rel_bound})")
+                   "4 steps", rel < pe1_bound,
+                   f"max per-field rel = {rel:.3e} (bound {pe1_bound}; "
+                   "two radiation implementations, not a shared body)")
 
     # ---- gate 7: fused 2D lat x lon path (1x1 mesh) vs the XLA core -------
     # the round-5 ('y','x') production path compiles the pgf/rest kernels

@@ -175,15 +175,27 @@ def test_driver_stream_physics_parity():
 
 
 def test_driver_stream_physics_every_promotes():
-    """physics_every=1 (per-step) cannot run between even launches: it
-    promotes to 2 with a warning instead of raising."""
+    """physics_every=1 with an epilogue-INELIGIBLE config (4band
+    radiation) cannot run between even launches: it promotes to 2 with a
+    warning.  Eligible grey-radiation configs run the round-5 in-kernel
+    per-step epilogue instead — with NO promotion warning."""
+    import warnings
+
     from gcmiipy_tpu.model.config import ModelConfig
     from gcmiipy_tpu.model.driver import run_model
 
     cfg = ModelConfig(backend="stream", physics=True, dtype="float64",
-                      stats=False)
+                      radiation="4band", stats=False)
     with pytest.warns(UserWarning, match="promotes to 2"):
         out = run_model(16, 128, 3, 300.0, 4, config=cfg)
+    assert all(np.isfinite(np.asarray(x)).all() for x in out[:5])
+
+    cfg_grey = ModelConfig(backend="stream", physics=True, dtype="float64",
+                           stats=False)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = run_model(16, 128, 3, 300.0, 4, config=cfg_grey)
+    assert not any("promotes to 2" in str(w.message) for w in caught)
     assert all(np.isfinite(np.asarray(x)).all() for x in out[:5])
 
 
