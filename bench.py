@@ -180,8 +180,8 @@ def tpu_throughput(height, width, layers, steps, dtype="float32",
               f"'{new}' pipeline instead", file=sys.stderr)
         backend = new
     if backend.startswith("stream") and not stream_grid_supported(geom):
-        print(f"# grid {height}x{width} outside the measured streaming "
-              "envelope (W <= 2048 any H, or W <= 4096 with H <= 64); "
+        print(f"# grid {height}x{width} outside the streaming envelope "
+              "(8 | H >= 16, 128 | W <= 4096, any height); "
               "benching the v1 fused pipeline", file=sys.stderr)
         backend = "fused"
     if backend.startswith("stream"):

@@ -117,6 +117,10 @@ def _add_run_args(ap):
     ap.add_argument("--stream-pipeline", action="store_true",
                     help="pair-interleave block stages inside the stream "
                          "kernel (MXU/VPU co-scheduling; same numerics)")
+    ap.add_argument("--stream-wide-native", action="store_true",
+                    help="force the native streaming kernel on tall wide "
+                         "grids (W > 2048, H > 64) instead of the "
+                         "measured-faster v1 FFT fallback")
     ap.add_argument("--polar-filter", default="fft",
                     choices=["fft", "matmul", "dft"])
     ap.add_argument("--filter-precision", default="high",
@@ -217,6 +221,7 @@ def cmd_run(args):
         dtype=args.dtype, backend=args.backend,
         stream_steps=args.stream_steps,
         stream_pipeline=args.stream_pipeline,
+        stream_wide_native=args.stream_wide_native,
         polar_filter=args.polar_filter,
         filter_precision=args.filter_precision,
         filter_split_tau=args.filter_split_tau, guard=args.guard,

@@ -161,6 +161,15 @@ class ModelConfig:
     # Steps per launch of the 'stream' backend (must be even; guard and
     # stats operate at this granularity there)
     stream_steps: int = 20
+    # Tall wide grids (W > 2048 with H > 64): the streaming kernel runs
+    # them NATIVELY since round 5 (lon-tiled VPU stages + HBM-staged
+    # tables), but its banded DFT-matmul filter is O(W*nb) per row where
+    # the v1 pipeline's FFT is O(W log W) — measured at 9x512x4096: v1
+    # 28.8 ms/step vs native stream 47.0.  Default False = the driver
+    # picks the faster v1 fallback there; True forces the native
+    # streaming kernel (e.g. for the lat-ring decomposition's launch
+    # structure).
+    stream_wide_native: bool = False
     # GCM-II ADVECQ +-0.5*QT horizontal flux clamp on the q advection
     # (reference port_one_d.py:239-258; the reference 2.5D core's own TODO
     # at dynamics.py:218).  Off by default for reference parity.

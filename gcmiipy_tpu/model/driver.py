@@ -677,14 +677,31 @@ def _make_stream_run_fn(geom, config, timesteps, start_step=0):
     from gcmiipy_tpu.ops import pallas_stream
     from gcmiipy_tpu.ops.pallas_stream import stream_grid_supported
 
-    if timesteps < 2 or not stream_grid_supported(geom):
+    from gcmiipy_tpu.ops.pallas_stream import STREAM_RESIDENT_MAX_WIDTH
+
+    wide_tall = (geom.width > STREAM_RESIDENT_MAX_WIDTH
+                 and geom.height > 64)
+    if timesteps < 2 or not stream_grid_supported(geom) \
+            or (wide_tall and not config.stream_wide_native):
         import dataclasses as _dc
-        warnings.warn(
-            f"backend 'stream' needs >= 2 steps and a grid inside the "
-            f"measured streaming envelope (8 | H >= 16, 128 | W <= 2048 "
-            f"at any height, or W <= 4096 with H <= 64); {timesteps} "
-            f"steps on {geom.height}x{geom.width} falls back to 'mega4'",
-            stacklevel=2)
+        if wide_tall and stream_grid_supported(geom) and timesteps >= 2:
+            # native tall-wide streaming exists (round 5) but its banded
+            # matmul filter loses to the v1 pipeline's FFT at this width
+            # (measured 47.0 vs 28.8 ms/step at 9x512x4096); take the
+            # faster path unless the user forces the native kernel
+            warnings.warn(
+                f"grid {geom.height}x{geom.width}: running the v1 fused "
+                "pipeline (FFT filter) — measured faster than the native "
+                "tall-wide streaming kernel at this width; set "
+                "ModelConfig(stream_wide_native=True) to force streaming",
+                stacklevel=2)
+        else:
+            warnings.warn(
+                f"backend 'stream' needs >= 2 steps and a grid inside "
+                f"the streaming envelope (8 | H >= 16, 128 | W <= 4096 "
+                f"at any height); {timesteps} "
+                f"steps on {geom.height}x{geom.width} falls back to "
+                "'mega4'", stacklevel=2)
         return make_run_fn(geom, _dc.replace(config, backend="mega4"),
                            timesteps)
 

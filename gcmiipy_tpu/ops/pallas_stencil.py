@@ -925,6 +925,13 @@ def make_mega_kernel_padded(geom, dt, coriolis=False, dtype=jnp.float32,
 
 FILTER_CHUNK = 128  # banded-filter MXU chunk width (one lane tile)
 
+# Longitude tile width of the block body's VPU stages: rows wider than
+# this are processed in sub-tiles with a 128-lane wrap halo (full-width
+# rows past ~2048 lanes spill the register allocator; the in-VMEM filter
+# matmuls always run full rows).  Tests monkeypatch this to exercise the
+# tiled path at small widths.
+STREAM_LON_TILE = 2048
+
 # Widest grid the in-VMEM-filter mega kernels fit on a v5e (128MB VMEM):
 # the DFT factor matrices are O(W^2) and blocks carry full longitude rows.
 # Measured: W=1024 needs ~110MB (tile_j=64); W=2048 needs 172MB at
@@ -1001,7 +1008,8 @@ def block_chunk_counts_split(polar_mask, tile_j, lo, hi, split_tau,
 
 def matsuno_block_stages(base_like, lgeom, keep, mask_ref, nch, CS_ref,
                          CwSw_ref, dt, coriolis, split_fwd, split_inv, prec,
-                         dtype, q_limiter=False, factor_dma=None):
+                         dtype, q_limiter=False, factor_dma=None,
+                         lon_tile=None):
     """Stage functions of the whole-step block body.
 
     The per-block Matsuno step is a serial chain of alternating VPU and
@@ -1183,18 +1191,18 @@ def matsuno_block_stages(base_like, lgeom, keep, mask_ref, nch, CS_ref,
             [spu_raw[:, :lo], Y[:L], spu_raw[:, hi:]], axis=1)
         return spu_f, Y[L:]
 
-    def pre_half(seval):
+    def _pre_half_at(seval, lg):
         """VPU stage: the two filter-bound force fields + pg_phiv."""
         sp, su, _sv, st, _sq = seval
-        return core25d.pgf_forces(sp, su, st, lgeom)
+        return core25d.pgf_forces(sp, su, st, lg)
 
-    def post_half(hbase, seval, spu_f, pgfu, pg_phiv, out_window):
+    def _post_half_at(hbase, seval, spu_f, pgfu, pg_phiv, out_window, lg):
         """VPU stage: tendency assembly + epilogue; returns the 5 fields
         embedded full-block (valid on rows [lo+2, hi-2) at least) or on
         the window rows when ``out_window``."""
         sp, su, sv, st, sq = seval
         p_n, pup, pvp, t_n, q_n = core25d.half_timestep_rest(
-            *hbase, sp, su, sv, st, sq, spu_f, dt, lgeom,
+            *hbase, sp, su, sv, st, sq, spu_f, dt, lg,
             coriolis=coriolis, q_limiter=q_limiter)
         w = lambda x: x[..., lo:hi, :]
         # 2D reciprocals, 3D multiplies: p_n is (rows, W), so dividing the
@@ -1214,6 +1222,66 @@ def matsuno_block_stages(base_like, lgeom, keep, mask_ref, nch, CS_ref,
         return (emb(w(p_n), pb), emb(u_n, ub), emb(v_n, vb),
                 emb(w(t_n), tb), emb(w(q_n), qb))
 
+    # ---- longitude tiling of the VPU stages (round 5) --------------------
+    # Full 4096-lane rows overflow the VPU register file: the block body
+    # spills 85.3MB of register slots at W=4096 (H-INDEPENDENT — measured
+    # round 5; W<=2048 bodies do not spill).  The filter matmuls stay
+    # full-width (zonal DFT needs whole rows), but the tendency stages
+    # are local-stencil (reach <= 3): run them on STREAM_LON_TILE-wide
+    # sub-tiles with a 128-lane wrap halo (aligned slices — odd lane
+    # offsets would relayout) and concatenate the cores.
+    _lt = lon_tile or STREAM_LON_TILE
+    ntiles = W // _lt if W > _lt and W % _lt == 0 else 1
+    HWL = 128                       # lon halo per sub-tile (reach <= 3)
+    TWD = W // ntiles
+
+    def _tile_in(x, ti):
+        i0 = ti * TWD
+        lo_, hi_ = i0 - HWL, i0 + TWD + HWL
+        parts = []
+        if lo_ < 0:
+            parts.append(x[..., lo_ + W:])
+            lo_ = 0
+        parts.append(x[..., lo_:min(hi_, W)])
+        if hi_ > W:
+            parts.append(x[..., :hi_ - W])
+        return (jnp.concatenate(parts, axis=-1) if len(parts) > 1
+                else parts[0])
+
+    def _tile_geom(ti):
+        return dataclasses.replace(
+            lgeom, heightmap=_tile_in(lgeom.heightmap, ti))
+
+    def _tile_core(x):
+        return x[..., HWL:HWL + TWD]
+
+    if ntiles == 1:
+        def pre_half(seval):
+            return _pre_half_at(seval, lgeom)
+
+        def post_half(hbase, seval, spu_f, pgfu, pg_phiv, out_window):
+            return _post_half_at(hbase, seval, spu_f, pgfu, pg_phiv,
+                                 out_window, lgeom)
+    else:
+        def pre_half(seval):
+            outs = [_pre_half_at(tuple(_tile_in(x, t) for x in seval),
+                                 _tile_geom(t)) for t in range(ntiles)]
+            return tuple(
+                jnp.concatenate([_tile_core(o[k]) for o in outs], axis=-1)
+                for k in range(3))
+
+        def post_half(hbase, seval, spu_f, pgfu, pg_phiv, out_window):
+            outs = []
+            for t in range(ntiles):
+                outs.append(_post_half_at(
+                    tuple(_tile_in(x, t) for x in hbase),
+                    tuple(_tile_in(x, t) for x in seval),
+                    _tile_in(spu_f, t), _tile_in(pgfu, t),
+                    _tile_in(pg_phiv, t), out_window, _tile_geom(t)))
+            return tuple(
+                jnp.concatenate([_tile_core(o[k]) for o in outs], axis=-1)
+                for k in range(5))
+
     # window rows [lo, hi) -> core rows: PHJ - lo = 4 rows in
     crop = lambda x: x[..., PHJ - lo:PHJ - lo + tile_j, :]
     return pre_half, filter_round, post_half, crop
@@ -1221,7 +1289,7 @@ def matsuno_block_stages(base_like, lgeom, keep, mask_ref, nch, CS_ref,
 
 def matsuno_block_body(base, lgeom, keep, mask_ref, nch, CS_ref, CwSw_ref,
                        dt, coriolis, split_fwd, split_inv, prec, dtype,
-                       q_limiter=False, factor_dma=None):
+                       q_limiter=False, factor_dma=None, lon_tile=None):
     """BOTH Matsuno halves (predictor + corrector, incl. the two banded
     in-VMEM DFT polar-filter rounds) on one rows-padded latitude block.
 
@@ -1254,7 +1322,7 @@ def matsuno_block_body(base, lgeom, keep, mask_ref, nch, CS_ref, CwSw_ref,
     pre_half, filter_half, post_half, crop = matsuno_block_stages(
         base, lgeom, keep, mask_ref, nch, CS_ref, CwSw_ref,
         dt, coriolis, split_fwd, split_inv, prec, dtype,
-        q_limiter=q_limiter, factor_dma=factor_dma)
+        q_limiter=q_limiter, factor_dma=factor_dma, lon_tile=lon_tile)
 
     s1 = pre_half(base)
     f1 = filter_half(s1[0], s1[1])

@@ -81,21 +81,22 @@ STREAM_MAX_WIDTH = 4096
 
 
 def stream_grid_supported(geom):
-    """Practical streaming-kernel envelope (measured on v5e, round 4).
+    """Practical streaming-kernel envelope (measured on v5e).
 
     Resident factors carry any H to W=2048 (the production-'high' W=2048
     kernel needs the 127MB wide VMEM self-limit); HBM-streamed factors
-    carry W=4096 on SMALL-H grids (validated at 32x4096, parity gate 5b).
-    At H=512, W=4096 the block body spills ~85MB of REGISTERS (full
-    4096-lane rows exceed the VPU register file with this code structure,
-    independent of factor residency) — lon-tiling inside the block is the
-    future fix; the v1 pipeline serves those grids today.
+    carry W=4096 at ANY height since round 5: full 4096-lane rows spill
+    85.3MB of register slots (H-independent — measured), so the VPU
+    tendency stages run lon-TILED in 1024-lane sub-tiles with a 128-lane
+    wrap halo (the in-VMEM filter matmuls keep full rows), and for H > 64
+    the H-scaled mask/heightmap tables move to HBM with per-block DMA
+    staging (`big_tables`) — together: 512x4096 compiles and runs
+    (was a v1-pipeline fallback through round 4).
     """
     H, W = geom.height, geom.width
     if H % 8 or W % 128 or H < 16:
         return False
-    return W <= STREAM_RESIDENT_MAX_WIDTH or (W <= STREAM_MAX_WIDTH
-                                              and H <= 64)
+    return W <= STREAM_MAX_WIDTH
 
 
 def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
@@ -188,6 +189,11 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
     # (_stream_factors=True forces it for tests).
     stream_factors = (_stream_factors if _stream_factors is not None
                       else W > STREAM_RESIDENT_MAX_WIDTH and not interpret)
+    # Wide + tall (round 5): the H-scaled mask/heightmap tables move to
+    # HBM with per-block DMA staging — together with the lon-tiled VPU
+    # stages (pallas_stencil.STREAM_LON_TILE) this is what lets W=4096
+    # run at any height instead of the old H<=64 envelope
+    big_tables = stream_factors and H > 64
     if tile_j is None:
         from gcmiipy_tpu.ops.pallas_stencil import default_step_tile_j
         # measured (v5e, 9x512x1024, 200-step): tj=64 1.886-1.983 ms/step
@@ -350,6 +356,10 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
         else:
             utc_ref = long_ref = None
             S_ref, ibuf, obuf, mwin, isem, osem, *fbufs = rest
+        if big_tables:
+            # H-scaled tables live in HBM; their staging scratch rides
+            # after the factor slots
+            *fbufs, hm_win, tsem = fbufs
         factor_dma = tuple(fbufs) if fbufs else None
         mk = pltpu.make_async_copy
 
@@ -390,12 +400,27 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
             """Block-local geometry rows, wall mask, staged filter mask."""
             r0 = pl.multiple_of(j * tile_j, 8)
             rows = pl.ds(r0, tj_in)
+            if big_tables:
+                # wide + tall: the (H+2hj, 2nb)/(H+2hj, W) mask and
+                # heightmap tables scale with H and do not fit VMEM next
+                # to the wide working set (measured: W=4096 H=512 needs
+                # 129.2MB with them resident) — they live in HBM and the
+                # block's rows DMA through scratch
+                cm = mk(mask_ref.at[rows, :], mref, tsem.at[0])
+                ch = mk(hm_ref.at[rows, :], hm_win, tsem.at[1])
+                cm.start()
+                ch.start()
+                cm.wait()
+                ch.wait()
+                hm_rows = hm_win[:, :]
+            else:
+                hm_rows = hm_ref[rows, :]
             lgeom = dataclasses.replace(
                 geom,
                 dx_j=dxj_ref[rows].reshape(1, tj_in, 1),
                 dx_h=dxh_ref[rows].reshape(1, tj_in, 1),
                 lat=lat_ref[rows],
-                heightmap=hm_ref[rows, :],
+                heightmap=hm_rows,
                 sigt=sigt_ref[:], sigb=sigb_ref[:],
                 sig=sig_ref[:], dsig=dsig_ref[:])
             keep = 1.0 - wall_ref[rows]
@@ -404,7 +429,8 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
             # pl.ds lanes) — Mosaic cannot dynamic-slice a materialized
             # array, and the whole-mask ref would need an unaligned
             # dynamic sublane offset
-            mref[:, :] = mask_ref[rows, :]
+            if not big_tables:
+                mref[:, :] = mask_ref[rows, :]
             nch = ((nch_ref[j, 0], nch_ref[j, 1]) if selective
                    else nch_ref[j, 0])
             return lgeom, keep, nch
@@ -422,7 +448,8 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
                 base, lgeom, keep, mwin, nch,
                 CS_ref, CwSw_ref,
                 dt, coriolis, split_fwd, split_inv, prec, dtype,
-                q_limiter=q_limiter, factor_dma=factor_dma)
+                q_limiter=q_limiter, factor_dma=factor_dma,
+                lon_tile=1024 if big_tables else None)
             if physics:
                 gt_c = win[NP, hj:hj + tile_j, :]
                 lat_c = lgeom.lat[hj:hj + tile_j]
@@ -498,7 +525,14 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
                 out_dma(par, slot, j).start()
                 return 0
 
-            jax.lax.fori_loop(0, nj, block, 0)
+            # block-loop bound as DATA (ns_ref[1]): a static bound lets
+            # the compiler treat the block loop as unrollable, which at
+            # W=4096 contributes to the register-spill failure; the
+            # dynamic bound keeps one block body regardless of H.
+            # .astype(int) canonicalizes the index dtype (i64 under the
+            # x64 interpret tests, i32 on hardware) so the rem() calls
+            # against Python ints keep matching dtypes.
+            jax.lax.fori_loop(0, ns_ref[1].astype(int), block, 0)
             # all writes must land before the next step reads this buffer
             out_dma(par, (nj - 2) % 2, nj - 2).wait()
             out_dma(par, (nj - 1) % 2, nj - 1).wait()
@@ -608,9 +642,17 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]
+    if big_tables:
+        scratch += [
+            pltpu.VMEM((tj_in, W), dtype),    # heightmap rows
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    hm_spec = aspec if big_tables else vspec
+    mask_spec = aspec if big_tables else vspec
     call = pl.pallas_call(
         kernel,
-        in_specs=[aspec] + [vspec] * 9 + [fspec, fspec, vspec]
+        in_specs=[aspec] + [vspec] * 3 + [hm_spec] + [vspec] * 5
+                 + [fspec, fspec, mask_spec]
                  + [sspec, sspec] + ([sspec, vspec] if physics else []),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((2, NPP, H, W), dtype),
@@ -621,7 +663,7 @@ def make_stream_kernel(geom, dt, steps, coriolis=False, dtype=jnp.float32,
         interpret=interpret,
     )
 
-    ns_c = jnp.asarray([steps], jnp.int32)
+    ns_c = jnp.asarray([steps, nj], jnp.int32)
 
     if geom_as_args:
         def multi(S, geom_arrays):

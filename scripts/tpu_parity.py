@@ -438,7 +438,31 @@ def main():
                        f"{Kw}-step vs XLA", rel < 4 * args.step1_rel_bound,
                        f"max per-field rel = {rel:.3e} (bound "
                        f"{4 * args.step1_rel_bound})")
-        wN = w4N
+
+        # ---- gate 5c: TALL wide grid (round 5: lon-tiled VPU stages +
+        # HBM big-tables) — W=4096 above the old H<=64 envelope: the
+        # tendency stages run in 1024-lane sub-tiles with a 128-lane wrap
+        # halo and the H-scaled mask/heightmap tables DMA per block; both
+        # are hardware-only code paths this gate pins vs XLA
+        wtgeom = geometry.gen_geometry(128, 4096, 3,
+                                       sig_func=geometry.manabe_sig)
+        wtgeom = wtgeom.astype(np.float32)
+        wtstate = _initial(wtgeom, jnp.float32)
+        wtstep_x = jax.jit(lambda *s: core25d.matsuno_timestep(
+            *s, wdt, wtgeom, filter_fn=polar_filter.arakawa_1977))
+        wtadv = jax.jit(pstream.make_stream_matsuno(
+            wtgeom, wdt, steps_per_launch=Kw, interpret=interpret),
+            static_argnums=5)
+        wtN = tuple(np.asarray(x) for x in jax.block_until_ready(
+            wtadv(*wtstate, Kw)))
+        wtxN = run_steps(wtstep_x, wtstate, Kw)
+        rel = rel_diff(wtxN, wtN)
+        all_ok &= gate(f"TALL wide stream (128x4096, lon-tiled + HBM "
+                       f"tables) {Kw}-step vs XLA",
+                       rel < 4 * args.step1_rel_bound,
+                       f"max per-field rel = {rel:.3e} (bound "
+                       f"{4 * args.step1_rel_bound})")
+        wN = wtN
 
     finite = all(np.isfinite(a).all()
                  for a in list(mN) + list(fN) + list(sN) + list(shN)

@@ -110,6 +110,7 @@ FLAG_CASES = {
     "polar_filter": (["--polar-filter", "dft"], "dft"),
     "backend": (["--backend", "mega4"], "mega4"),
     "stream_pipeline": (["--stream-pipeline"], True),
+    "stream_wide_native": (["--stream-wide-native"], True),
     "stream_steps": (["--stream-steps", "10"], 10),
     "q_limiter": (["--q-limiter"], True),
     "filter_precision": (["--filter-precision", "highest"], "highest"),

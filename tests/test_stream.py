@@ -377,8 +377,10 @@ def test_stream_factor_streaming_matches_resident():
 
 
 def test_stream_envelope_fallback():
-    """Grids outside the measured streaming envelope (tall W=4096) fall
-    back to 'mega4' (and onward to v1/xla) with an explicit warning."""
+    """Grids outside the streaming envelope (W > 4096, tiny H, odd
+    widths) fall back to 'mega4' (and onward to v1/xla) with an explicit
+    warning.  Round 5: tall W=4096 grids are INSIDE the envelope now
+    (lon-tiled VPU stages + HBM big-tables)."""
     from gcmiipy_tpu.model.config import ModelConfig
     from gcmiipy_tpu.model.driver import make_run_fn
     from gcmiipy_tpu.grid import geometry as geo
@@ -386,7 +388,8 @@ def test_stream_envelope_fallback():
 
     assert stream_grid_supported(geo.gen_geometry(512, 2048, 3))
     assert stream_grid_supported(geo.gen_geometry(64, 4096, 3))
-    assert not stream_grid_supported(geo.gen_geometry(512, 4096, 3))
+    assert stream_grid_supported(geo.gen_geometry(512, 4096, 3))
+    assert not stream_grid_supported(geo.gen_geometry(512, 8192, 3))
     assert not stream_grid_supported(geo.gen_geometry(12, 128, 3))
 
     cfg = ModelConfig(backend="stream", dtype="float64", stats=False,
@@ -466,4 +469,70 @@ def test_stream_inkernel_physics_seasonal_convection():
                           outs["mega4"].prog):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6,
+                                   err_msg=f"field {name}")
+
+
+def test_stream_lon_tiled_stages_bitwise():
+    """Round 5: the lon-tiled VPU stages (sub-tiles + 128-lane wrap halo,
+    full-width filter) are BITWISE equal to the untiled body — every core
+    column sees identical operations (no lon reductions in the tendency).
+    Exercised by monkeypatching the tile width below the grid width."""
+    from gcmiipy_tpu.grid import geometry as geo
+    from gcmiipy_tpu.model import driver
+    from gcmiipy_tpu.model.config import ModelConfig
+    from gcmiipy_tpu.ops import pallas_stencil as ps
+
+    H, W, L = 16, 256, 3
+    geom = geo.gen_geometry(H, W, L,
+                            sig_func=geo.manabe_sig).astype(np.float64)
+    prog = driver.gen_model_state(
+        geom, ModelConfig(height=H, width=W, layers=L,
+                          dtype="float64")).prog
+
+    def run(tile):
+        old = ps.STREAM_LON_TILE
+        ps.STREAM_LON_TILE = tile
+        try:
+            multi = pstream.make_stream_kernel(geom, 300.0, 2,
+                                               dtype=jnp.float64,
+                                               interpret=True)
+            S = jnp.stack([pstream.pack_state(*prog),
+                           jnp.zeros((1 + 4 * L, H, W))])
+            return pstream.unpack_state(multi(S)[0], L)
+        finally:
+            ps.STREAM_LON_TILE = old
+
+    ref = run(4096)     # untiled
+    tiled = run(64)     # 4 sub-tiles
+    for name, a, b in zip("puvtq", tiled, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"field {name}")
+
+
+def test_stream_big_tables_dma():
+    """Round 5: for H > 64 wide grids the mask/heightmap tables live in
+    HBM and DMA per block (`big_tables`); forced here via
+    _stream_factors=True on a small grid — must match the resident-table
+    kernel at f64 roundoff (same math, different staging)."""
+    from gcmiipy_tpu.grid import geometry as geo
+    from gcmiipy_tpu.model import driver
+    from gcmiipy_tpu.model.config import ModelConfig
+
+    H, W, L = 128, 128, 3     # H > 64 triggers big_tables under
+    geom = geo.gen_geometry(H, W, L,       # forced streamed factors
+                            sig_func=geo.manabe_sig).astype(np.float64)
+    prog = driver.gen_model_state(
+        geom, ModelConfig(height=H, width=W, layers=L,
+                          dtype="float64")).prog
+    S0 = jnp.stack([pstream.pack_state(*prog),
+                    jnp.zeros((1 + 4 * L, H, W))])
+
+    ref = pstream.unpack_state(pstream.make_stream_kernel(
+        geom, 300.0, 2, dtype=jnp.float64, interpret=True)(S0)[0], L)
+    big = pstream.unpack_state(pstream.make_stream_kernel(
+        geom, 300.0, 2, dtype=jnp.float64, interpret=True,
+        _stream_factors=True)(S0)[0], L)
+    for name, a, b in zip("puvtq", big, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-12,
                                    err_msg=f"field {name}")
