@@ -716,7 +716,10 @@ def _make_stream_run_fn(geom, config, timesteps, start_step=0):
         config.physics and config.physics_every == 1
         and config.radiation == "grey" and not config.evaporation
         and not config.precipitation and config.shapiro_every == 0
-        and config.land_cover == "none" and not config.stream_pipeline)
+        and config.land_cover == "none" and not config.stream_pipeline
+        # wide streamed-factor kernels + the epilogue's extra plane is an
+        # unvalidated VMEM combination; pe=1 there takes the mega4 path
+        and geom.width <= STREAM_RESIDENT_MAX_WIDTH)
 
     if inkernel_physics:
         K = max(2, config.stream_steps - config.stream_steps % 2)
